@@ -1,0 +1,364 @@
+"""Pure-Python semantic kernel for the CH-PDF-Parse rebuild.
+
+This module has **no Spark dependency**. It is used three ways:
+
+1. as the *golden oracle* for pytest (SURVEY.md §5: span-sequence equality
+   ``(kind, text, media_ref, order)``),
+2. as the vectorized per-document kernel inside the flagship zero-shuffle
+   ``mapInPandas`` pipeline (``pipeline.py``),
+3. as the executable specification the relational (pure-DataFrame) pipeline is
+   differentially tested against.
+
+Semantics are re-expressed from the reference (read-only at /root/reference):
+
+* decode ladder + page fold: ``predict/pdf2markdown.py:380-683``
+* caption grouping: ``predict/pdf2markdown.py:519-546``
+* greedy-by-index caption↔media matching (the distance at ``:107-110`` is
+  computed then discarded; ``ranklist.sort(key=x[0])`` at ``:111,138`` sorts by
+  caption *index*): ``predict/pdf2markdown.py:64-150``
+* reading order: the reference uses a learned regression head
+  (``train/layoutlmv3_modeling.py:1188-1194``); the rebuild substitutes a
+  deterministic recursive XY-cut over span geometry.
+* paragraph boundary: learned 2-class head (``:1195-1199``); substituted by a
+  deterministic geometric rule (indent / vertical-gap / column transition).
+* segment-type classification: learned 10-class head (``:1172-1177``);
+  substituted by a text/geometry rule ladder.
+
+None of the reference's code is copied; the learned components are replaced by
+deterministic surrogates with identical output contracts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from . import constants as C
+
+# ---------------------------------------------------------------------------
+# offset codec (FIXTURES.md §1)
+# ---------------------------------------------------------------------------
+
+
+def pack_offset(page: int, y1: int, x1: int) -> int:
+    if not (0 <= y1 < 1000 and 0 <= x1 < C.OFFSET_Y):
+        raise ValueError(f"unpackable geometry y1={y1} x1={x1}")
+    return page * C.OFFSET_PAGE + y1 * C.OFFSET_Y + x1
+
+
+def unpack_offset(offset: int) -> tuple[int, int, int]:
+    """offset -> (page, y1, x1)."""
+    page, rem = divmod(offset, C.OFFSET_PAGE)
+    y1, x1 = divmod(rem, C.OFFSET_Y)
+    return page, y1, x1
+
+
+def derive_box(kind: str, text: str, x1: int, y1: int) -> tuple[int, int, int, int]:
+    """Deterministic (x1, y1, x2, y2) shared by generator and engine.
+
+    The input table packs only (page, y1, x1); width/height are a pure
+    function of the text (FIXTURES.md §1). Media extents are nominal — the
+    reference computes caption↔media distances from them and then discards the
+    distances (predict/pdf2markdown.py:111,138), so they carry no semantics.
+    """
+    if kind in ("figure", "table"):
+        return x1, y1, x1 + 300, y1 + 200
+    return x1, y1, x1 + C.CHAR_W * max(len(text), 1), y1 + C.LINE_H
+
+
+# ---------------------------------------------------------------------------
+# M1 surrogate: segment-type classification rule ladder
+# (contract of the 10-class head, train/layoutlmv3_modeling.py:1172-1177;
+#  decode ladder predict/pdf2markdown.py:380-510)
+# ---------------------------------------------------------------------------
+
+
+def classify_kind(text: str, page: int, y1: int) -> str:
+    if text == C.EQUATION_TEXT:
+        return "equation"
+    if text[:1] == "图" and text[1:2].isdigit():
+        return "figure_caption"
+    if text[:1] == "表" and text[1:2].isdigit():
+        return "table_caption"
+    if text[:1] == "[":
+        i = 1
+        while i < len(text) and text[i].isdigit():
+            i += 1
+        if i > 1 and i < len(text) and text[i] == "]":
+            return "reference"
+    if text.startswith("摘要"):
+        return "abstract"
+    if text.startswith("关键词"):
+        return "keyword"
+    if y1 < C.HEADER_Y_MAX:
+        return "header"
+    if page == 0 and y1 < C.TITLE_Y_MAX:
+        return "title"
+    return "text"
+
+
+# ---------------------------------------------------------------------------
+# M3 surrogate: XY-cut reading order
+# ---------------------------------------------------------------------------
+
+
+def _gaps(intervals: list[tuple[int, int]], min_gap: int) -> list[int]:
+    """Split points of the merged interval union where a gap >= min_gap opens."""
+    ivs = sorted(intervals)
+    cuts: list[int] = []
+    hi = ivs[0][1]
+    for a, b in ivs[1:]:
+        if a - hi >= min_gap:
+            cuts.append(hi)
+        hi = max(hi, b)
+    return cuts
+
+
+def xy_cut(boxes: list[tuple[int, int, int, int]]) -> list[tuple[int, int]]:
+    """Deterministic recursive XY-cut.
+
+    ``boxes`` are (x1, y1, x2, y2). Returns, in reading order, a list of
+    ``(original_index, region_x0)`` where ``region_x0`` is the min x1 of the
+    innermost vertical-cut region containing the span (the column left edge,
+    consumed by the paragraph-boundary rule).
+
+    X-cuts are attempted first (column gutters always win over horizontal
+    gaps shared by both columns); Y-cuts split only at the *topmost* gap
+    (strip the top band, recurse) so a full-width banner above a 2-column
+    body is peeled off before the gutter is considered — otherwise a
+    horizontal gap shared by both columns would interleave them. Leaves sort
+    by (y1, x1, idx). Total and deterministic: ties broken by original index
+    (SURVEY.md §7.3).
+    """
+    order: list[tuple[int, int]] = []
+
+    def recurse(idxs: list[int], region_x0: int) -> None:
+        if len(idxs) == 1:
+            order.append((idxs[0], region_x0))
+            return
+        xcuts = _gaps([(boxes[i][0], boxes[i][2]) for i in idxs], C.XY_MIN_GAP_X)
+        if xcuts:
+            groups: list[list[int]] = [[] for _ in range(len(xcuts) + 1)]
+            for i in idxs:
+                g = sum(1 for c in xcuts if boxes[i][0] >= c)
+                groups[g].append(i)
+            for grp in groups:
+                if grp:
+                    recurse(grp, min(boxes[i][0] for i in grp))
+            return
+        ycuts = _gaps([(boxes[i][1], boxes[i][3]) for i in idxs], C.XY_MIN_GAP_Y)
+        if ycuts:
+            cut = ycuts[0]  # topmost gap only: strip the top band, recurse
+            top = [i for i in idxs if boxes[i][1] < cut]
+            rest = [i for i in idxs if boxes[i][1] >= cut]
+            recurse(top, region_x0)
+            recurse(rest, region_x0)
+            return
+        for i in sorted(idxs, key=lambda i: (boxes[i][1], boxes[i][0], i)):
+            order.append((i, region_x0))
+
+    if boxes:
+        recurse(list(range(len(boxes))), min(b[0] for b in boxes))
+    return order
+
+
+# ---------------------------------------------------------------------------
+# M2 surrogate: paragraph-boundary rule
+# ---------------------------------------------------------------------------
+
+
+def is_new_line(
+    y1: int, x1: int, region_x0: int, prev_y1: int | None, prev_page: int | None, page: int
+) -> bool:
+    """True iff the span starts a new paragraph/record.
+
+    prev_* refer to the previous *text* span in document reading order (may be
+    on the previous page — cross-page continuation is a reference behavior:
+    ``parsed_json[-1]["text"] += ...`` at predict/pdf2markdown.py:575).
+    """
+    if prev_y1 is None:
+        return True
+    dy = y1 - prev_y1 if page == prev_page else -1
+    if dy > C.NEWLINE_DY:
+        return True
+    if dy <= 0 and (x1 - region_x0) > C.NEWLINE_DX:
+        return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# end-to-end per-document extraction (the oracle / mapInPandas kernel)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Span:
+    """One input span after offset decode."""
+
+    kind: str
+    text: str
+    media_ref: str
+    page: int
+    y1: int
+    x1: int
+    idx: int  # original position within the document's spans array
+
+    @classmethod
+    def from_raw(cls, kind: str, text: str, media_ref: str, offset: int, idx: int) -> "Span":
+        page, y1, x1 = unpack_offset(offset)
+        return cls(kind or "", text or "", media_ref or "", page, y1, x1, idx)
+
+
+@dataclass
+class ExtractState:
+    """Cross-page fold state (mirrors mdstring / parsed_json accumulation in
+    predict/pdf2markdown.py:356-359). Split out so the salted page-sharded
+    path can merge partial results (operators/salting.py)."""
+
+    records: list[tuple[str, str, str]] = field(default_factory=list)  # kind,text,media_ref
+    markdown: list[str] = field(default_factory=list)
+    table_caps: list[tuple[str, str]] = field(default_factory=list)   # (caption, media_ref)
+    figure_caps: list[tuple[str, str]] = field(default_factory=list)
+    prev_y1: int | None = None
+    prev_page: int | None = None
+    prev_kind: str | None = None
+    # True/False once the first body record opens: did it open as a
+    # continuation (new_line False with empty records)? Consumed by the
+    # salted-path stitch (pipeline._stitch_doc).
+    opened_with_continuation: bool | None = None
+
+
+def extract_page(state: ExtractState, page: int, spans: list[Span]) -> None:
+    """Process one page's spans (input order) into the fold state.
+
+    Mirrors one iteration of the page loop predict/pdf2markdown.py:360-672.
+    """
+    # classification (M1) + equation pseudo-text (predict/pdf2markdown.py:268-274,380-388)
+    text_spans: list[Span] = []
+    media: list[Span] = []  # figures/tables in *input* order (prepare_input :255-267)
+    for s in spans:
+        kind = s.kind
+        text = s.text
+        if kind in ("figure", "table"):
+            media.append(s)
+            continue
+        if kind == "equation":
+            text = C.EQUATION_TEXT
+        elif kind == C.UNLABELED:
+            kind = classify_kind(text, s.page, s.y1)
+            if kind == "equation":
+                text = C.EQUATION_TEXT
+        if kind == C.IRRELEVANT:
+            continue  # segment_type 0 never enters `annotate` (:380-510)
+        text_spans.append(Span(kind, text, s.media_ref, s.page, s.y1, s.x1, s.idx))
+
+    # reading order (M3 surrogate; replaces annotate.sort(key=order, reverse=True) :514)
+    boxes = [derive_box(s.kind, s.text, s.x1, s.y1) for s in text_spans]
+    ordered = [(text_spans[i], x0) for i, x0 in xy_cut(boxes)]
+
+    # per-page caption accumulators (:515-518); groups flush in reading order
+    tab_groups: list[list[str]] = []
+    fig_groups: list[list[str]] = []
+
+    for s, region_x0 in ordered:
+        new_line = is_new_line(s.y1, s.x1, region_x0, state.prev_y1, state.prev_page, page)
+        kind = s.kind
+        # continuation inheritance: a continuation line belongs to the open
+        # paragraph; the learned head classifies it with the paragraph's kind.
+        if not new_line and state.prev_kind is not None:
+            kind = state.prev_kind
+        state.prev_y1, state.prev_page, state.prev_kind = s.y1, s.page, kind
+
+        if kind == "equation":
+            # markdown only; never appended to parsed_json (:653-654)
+            state.markdown.append(f"![]({s.text}){C.SEP_MEDIA}")
+            state.prev_kind = "equation"
+            continue
+        if kind == "table_caption":
+            _caption_accumulate(tab_groups, s.text, new_line)
+            continue
+        if kind == "figure_caption":
+            _caption_accumulate(fig_groups, s.text, new_line)
+            continue
+        # body kinds (:549-651)
+        if new_line:
+            if state.opened_with_continuation is None:
+                state.opened_with_continuation = False
+            state.records.append((kind, s.text, ""))
+            sep = C.SEP_TITLE if kind == "title" else C.SEP_PARA
+            state.markdown.append(sep + s.text)
+        else:
+            state.markdown.append(s.text)
+            if state.records:
+                k, t, m = state.records[-1]
+                state.records[-1] = (k, t + s.text, m)
+            else:
+                state.opened_with_continuation = True
+                state.records.append((kind, s.text, ""))
+
+    # caption <-> media positional match (greedy by caption index, :64-150)
+    tables = [m for m in media if m.kind == "table"]
+    figures = [m for m in media if m.kind == "figure"]
+    tab_matched = _positional_match(tables, tab_groups)
+    fig_matched = _positional_match(figures, fig_groups)
+
+    # page media emission (:664-670): tables caption-first, figures image-first
+    state.markdown.append(C.PAGE_SEP)
+    for cap, ref in tab_matched:
+        state.markdown.append(f"{cap}{C.SEP_MEDIA}![]({ref}){C.SEP_MEDIA}")
+    for cap, ref in fig_matched:
+        state.markdown.append(f"![]({ref}){C.SEP_MEDIA}{cap}{C.SEP_MEDIA}")
+    state.table_caps.extend(tab_matched)
+    state.figure_caps.extend(fig_matched)
+
+
+def _caption_accumulate(groups: list[list[str]], text: str, new_line: bool) -> None:
+    # predict/pdf2markdown.py:519-546: True opens a group (flushing the
+    # previous one); False appends to the current group, opening one if none.
+    if new_line or not groups:
+        groups.append([text])
+    else:
+        groups[-1].append(text)
+
+
+def _positional_match(media: list[Span], groups: list[list[str]]) -> list[tuple[str, str]]:
+    """(caption_text, media_ref) per media span, in input order.
+
+    Faithful reproduction of match_captions_to_images_tables
+    (predict/pdf2markdown.py:64-150): media i pairs with caption group i
+    (greedy by *index* — the computed distances are discarded); media beyond
+    the group count get the sentinel; surplus caption groups are dropped.
+    """
+    out = []
+    for i, m in enumerate(media):
+        cap = "".join(groups[i]) if i < len(groups) else C.UNMATCHED_CAPTION
+        out.append((cap, m.media_ref))
+    return out
+
+
+def finish_document(state: ExtractState) -> tuple[list[tuple[str, str, str, int]], str]:
+    """Doc-end caption records (:675-680) + final (spans, markdown)."""
+    records = list(state.records)
+    for cap, ref in state.table_caps:
+        records.append(("table_caption", cap, ref))
+    for cap, ref in state.figure_caps:
+        records.append(("figure_caption", cap, ref))
+    out = [(k, t, m, i) for i, (k, t, m) in enumerate(records)]
+    return out, "".join(state.markdown)
+
+
+def extract_document(
+    spans: list[tuple[str, str, str, int]],
+) -> tuple[list[tuple[str, str, str, int]], str]:
+    """Full per-document extraction.
+
+    ``spans``: input array of (kind, text, media_ref, offset) in table order.
+    Returns (output spans [(kind, text, media_ref, order)], markdown).
+    """
+    decoded = [Span.from_raw(k, t, m, o, i) for i, (k, t, m, o) in enumerate(spans)]
+    by_page: dict[int, list[Span]] = {}
+    for s in decoded:
+        by_page.setdefault(s.page, []).append(s)
+    state = ExtractState()
+    for page in sorted(by_page):
+        extract_page(state, page, by_page[page])
+    return finish_document(state)

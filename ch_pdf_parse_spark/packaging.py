@@ -1,0 +1,48 @@
+"""Executor-side packaging (spark-submit --py-files parity).
+
+The pipeline's pandas-UDF kernels reference this package by module name, so
+Python workers must be able to import it regardless of the driver's cwd. On a
+real cluster that is ``spark-submit --py-files ch_pdf_parse_spark.zip``
+(north_rule); in-process (driver-owned SparkSession, tests, the grading
+driver) we build the same zip once and ``addPyFile`` it — identical code path
+to what ships to a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_ENSURED: set[str] = set()
+
+
+def build_zip(dest: str | None = None) -> str:
+    """Zip this package (pure-python, no data) for --py-files / addPyFile."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    dest = dest or os.path.join(tempfile.gettempdir(), "ch_pdf_parse_spark.zip")
+    tmp = dest + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.join("ch_pdf_parse_spark",
+                                   os.path.relpath(full, pkg_dir))
+                z.write(full, rel)
+    os.replace(tmp, dest)
+    return dest
+
+
+def ensure_on_executors(spark: SparkSession) -> None:
+    """Idempotently ship the package to Python workers of this session."""
+    key = spark.sparkContext.applicationId
+    if key in _ENSURED:
+        return
+    spark.sparkContext.addPyFile(build_zip())
+    _ENSURED.add(key)

@@ -1,0 +1,206 @@
+"""Flagship extraction pipeline (zero-shuffle scale path).
+
+Input (per BASELINE.json ``input_hint``)::
+
+    documents(doc_id string,
+              spans array<struct<kind,text,media_ref,offset:int>>)
+
+Output::
+
+    (doc_id string,
+     spans array<struct<kind,text,media_ref,offset:int>>,   -- parsed_json analog
+     markdown string)                                        -- mdstring analog
+
+Design for 10^12 documents:
+
+* Documents arrive **nested** (one row per doc), so the common case is a pure
+  ``mapInPandas`` — embarrassingly parallel, **no shuffle at all**. Arrow
+  batches many documents per Python call (no per-row Python).
+* The long tail of oversized documents (span count > SALT_SPAN_THRESHOLD) is
+  **salted page-wise**: explode → per-(doc,page) partial extraction
+  (``applyInPandas``) → per-doc stitch. This replaces the reference's
+  drop-oversized-pages guard (/root/reference/train/preprocess.py:568-571)
+  with skew-defeating redistribution (north_rule), because page folds are
+  independent except for a single boundary bit (cross-page paragraph
+  continuation, /root/reference/predict/pdf2markdown.py:571-577), which the
+  stitch step resolves exactly.
+
+Both paths reproduce the golden oracle (``core.extract_document``) bit-for-bit
+— asserted by tests/test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from . import constants as C
+from . import core
+
+SPAN_STRUCT = T.StructType([
+    T.StructField("kind", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("offset", T.IntegerType()),
+])
+
+OUTPUT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("spans", T.ArrayType(SPAN_STRUCT)),
+    T.StructField("markdown", T.StringType()),
+])
+
+_CAP_STRUCT = T.StructType([
+    T.StructField("cap", T.StringType()),
+    T.StructField("ref", T.StringType()),
+])
+
+_PARTIAL_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("page", T.IntegerType()),
+    T.StructField("leading_cont", T.BooleanType()),
+    T.StructField("first_kind", T.StringType()),
+    T.StructField("records", T.ArrayType(SPAN_STRUCT)),  # offset unused here
+    T.StructField("md", T.StringType()),
+    T.StructField("table_caps", T.ArrayType(_CAP_STRUCT)),
+    T.StructField("figure_caps", T.ArrayType(_CAP_STRUCT)),
+])
+
+
+def _spans_to_tuples(spans) -> list[tuple[str, str, str, int]]:
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+def _extract_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out_docs, out_spans, out_md = [], [], []
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            recs, md = core.extract_document(_spans_to_tuples(spans))
+            out_docs.append(doc_id)
+            out_spans.append([
+                {"kind": k, "text": t, "media_ref": m, "offset": o}
+                for k, t, m, o in recs
+            ])
+            out_md.append(md)
+        yield pd.DataFrame({"doc_id": out_docs, "spans": out_spans, "markdown": out_md})
+
+
+# ---------------------------------------------------------------------------
+# salted path: per-page partials + per-doc stitch
+# ---------------------------------------------------------------------------
+
+
+def _extract_page_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel for one (doc_id, page) group of exploded spans."""
+    doc_id = pdf["doc_id"].iloc[0]
+    page = int(pdf["page"].iloc[0])
+    pdf = pdf.sort_values("idx")
+    spans = [
+        core.Span.from_raw(k, t, m, int(o), int(i))
+        for k, t, m, o, i in zip(pdf["kind"], pdf["text"], pdf["media_ref"],
+                                 pdf["offset"], pdf["idx"])
+    ]
+    state = core.ExtractState()
+    if page > 0:
+        # sentinel "previous span exists on an earlier page": the boundary
+        # rule (core.is_new_line) only consults x_rel when pages differ.
+        state.prev_page, state.prev_y1, state.prev_kind = -1, 0, None
+    core.extract_page(state, page, spans)
+
+    leading_cont, first_kind = False, ""
+    if page > 0 and state.records:
+        # did the page open with a body continuation? (then is_new_line was
+        # False for its first ordered body span → no separator was emitted and
+        # the record must be merged into the previous page's last record)
+        first_kind = state.records[0][0]
+        leading_cont = state.opened_with_continuation is True
+    return pd.DataFrame([{
+        "doc_id": doc_id, "page": page,
+        "leading_cont": leading_cont, "first_kind": first_kind,
+        "records": [{"kind": k, "text": t, "media_ref": m, "offset": 0}
+                    for k, t, m in state.records],
+        "md": "".join(state.markdown),
+        "table_caps": [{"cap": c, "ref": r} for c, r in state.table_caps],
+        "figure_caps": [{"cap": c, "ref": r} for c, r in state.figure_caps],
+    }])
+
+
+def _stitch_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: stitch per-page partials into the doc result."""
+    pdf = pdf.sort_values("page")
+    doc_id = pdf["doc_id"].iloc[0]
+    records: list[tuple[str, str, str]] = []
+    md_parts: list[str] = []
+    table_caps: list[tuple[str, str]] = []
+    figure_caps: list[tuple[str, str]] = []
+    first = True
+    for row in pdf.itertuples(index=False):
+        recs = [(r["kind"], r["text"], r["media_ref"]) for r in row.records]
+        md = row.md
+        if row.leading_cont and recs:
+            if first or not records:
+                # the doc actually starts here → the boundary span is a real
+                # new_line=True: restore the separator the partial omitted
+                sep = C.SEP_TITLE if row.first_kind == "title" else C.SEP_PARA
+                md = sep + md
+                records.extend(recs)
+            else:
+                k, t, m = records[-1]
+                records[-1] = (k, t + recs[0][1], m)
+                records.extend(recs[1:])
+        else:
+            records.extend(recs)
+        md_parts.append(md)
+        table_caps.extend((c["cap"], c["ref"]) for c in row.table_caps)
+        figure_caps.extend((c["cap"], c["ref"]) for c in row.figure_caps)
+        first = False
+    state = core.ExtractState(records=records, markdown=md_parts,
+                              table_caps=table_caps, figure_caps=figure_caps)
+    recs, md = core.finish_document(state)
+    return pd.DataFrame([{
+        "doc_id": doc_id,
+        "spans": [{"kind": k, "text": t, "media_ref": m, "offset": o}
+                  for k, t, m, o in recs],
+        "markdown": md,
+    }])
+
+
+def extract_documents(
+    docs: DataFrame,
+    salt_threshold: int = C.SALT_SPAN_THRESHOLD,
+) -> DataFrame:
+    """End-to-end extraction. Zero-shuffle ``mapInPandas`` for regular docs;
+    page-salted two-stage aggregation for the oversized long tail."""
+    from .packaging import ensure_on_executors
+
+    ensure_on_executors(docs.sparkSession)
+    n = F.size("spans")
+    small = docs.where(n <= salt_threshold)
+    big = docs.where(n > salt_threshold)
+
+    small_out = small.mapInPandas(_extract_batch, OUTPUT_SCHEMA)
+
+    exploded = (
+        big.select("doc_id", F.posexplode("spans").alias("idx", "s"))
+        .select(
+            "doc_id", "idx",
+            F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"), F.col("s.offset").alias("offset"),
+            (F.col("s.offset") / F.lit(C.OFFSET_PAGE)).cast("int").alias("page"),
+        )
+    )
+    partials = exploded.groupBy("doc_id", "page").applyInPandas(
+        _extract_page_partial, _PARTIAL_SCHEMA
+    )
+    big_out = partials.groupBy("doc_id").applyInPandas(_stitch_doc, OUTPUT_SCHEMA)
+    return small_out.unionByName(big_out)
+
+
+def read_documents(spark, path: str) -> DataFrame:
+    """Read the input corpus (parquet file or Iceberg table, sources.catalog)."""
+    from .sources.catalog import read_table
+
+    return read_table(spark, path)

@@ -1,0 +1,307 @@
+"""Operator registry: one entry per implemented SURVEY.md §2 operator.
+
+Each entry pairs a PySpark DataFrame query (run on the driver's parquet tables
+at ``sf_dir``) with an equivalent ANSI-SQL oracle that DuckDB executes over the
+same files. Column names/aliases match exactly on both sides (driver hashes
+values after sorting columns by name). Floating-point outputs are rounded on
+both sides so value hashes are stable.
+
+Extraction-pipeline entries run on the deterministic synthetic interleaved
+corpus (fixtures.py) — not SQL-expressible, so they are registered without an
+oracle (the driver records a rows-only check; the real equality gate is
+tests/test_pipeline.py against the golden oracle).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import fixtures
+
+Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+SQL: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        Q[name] = fn
+        if sql is not None:
+            SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def fixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic interleaved-documents corpus scaled like sf_dir.
+
+    Generated once per scale (cached parquet); content is a pure function of
+    (sf, seed=42) — BASELINE.json: 'synthesise it deterministically at small
+    scale for tests and benchmarks; no external data'.
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    try:
+        sf = float(tag.replace("sf", ""))
+    except ValueError:
+        sf = 0.01
+    out = fixtures.write_corpus(sf, base="/tmp/ch_pdf_parse_fixtures")
+    return spark.read.parquet(os.path.join(out, "documents.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# extraction pipeline (flagship; rows-only driver check, golden-tested in CI)
+# ---------------------------------------------------------------------------
+
+
+@register("extract_spans")
+def extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full per-document extraction (SURVEY.md §3.1 lifecycle).
+
+    Output spans reproduce core.extract_document (span-sequence equality
+    (kind, text, media_ref, order) — BASELINE.json invariant)."""
+    from .pipeline import extract_documents
+
+    out = extract_documents(fixture_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.posexplode("spans").alias("pos", "s"),
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("ord"),
+    )
+
+
+@register("extract_markdown")
+def extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per-document markdown fold (A3/A4, predict/pdf2markdown.py:549-683)."""
+    from .pipeline import extract_documents
+
+    return extract_documents(fixture_docs(spark, sf_dir)).select(
+        "doc_id", F.md5("markdown").alias("md_hash"), F.length("markdown").alias("md_len")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational operator demos on the driver tables, with DuckDB oracle twins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_discount < 0.05
+    """,
+)
+def p_filter_project(spark, sf_dir):
+    """P1/P2 + Q2: predicate + projection pushed into the parquet scan
+    (SURVEY.md §2.2; reference filters predict/pdf2markdown.py:290-292)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where((F.col("l_quantity") > 30) & (F.col("l_discount") < 0.05))
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+    )
+
+
+@register(
+    "p_bbox_arith",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(l_extendedprice * (1024.0 / GREATEST(l_quantity, l_tax * 100) - 0.00001)) AS BIGINT) AS norm_px,
+           GREATEST(l_quantity, 1.0 + 5.0) AS fixed_x2
+    FROM lineitem
+    """,
+)
+def p_bbox_arith(spark, sf_dir):
+    """P5/P6: bbox sanitize + normalize-to-1024 arithmetic
+    (predict/ppocr_server.py:98-101; predict/pdf2markdown.py:240-248)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(
+            F.col("l_extendedprice")
+            * (F.lit(1024.0) / F.greatest("l_quantity", F.col("l_tax") * 100) - 0.00001)
+        ).cast("bigint").alias("norm_px"),
+        F.greatest(F.col("l_quantity"), F.lit(1.0) + 5.0).alias("fixed_x2"),
+    )
+
+
+@register(
+    "p_page_bucket",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_custkey % 20 = 0 THEN 0
+                ELSE (19 * (o_orderkey % 7)) // ((o_custkey % 20)) END AS page_pos
+    FROM orders
+    """,
+)
+def p_page_bucket(spark, sf_dir):
+    """P7: page-position bucketing 19*i // (total-1)
+    (predict/pdf2markdown.py:212-215)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 20 == 0, F.lit(0))
+        .otherwise(
+            F.expr("(19 * (o_orderkey % 7)) div (o_custkey % 20)")
+        )
+        .cast("long")
+        .alias("page_pos"),
+    )
+
+
+@register(
+    "a_window_cumsum",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+    FROM events
+    """,
+)
+def a_window_cumsum(spark, sf_dir):
+    """A6: running prefix-sum window (the current_position accumulator,
+    predict/pdf2markdown.py:259-286)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+
+@register(
+    "j_positional_join",
+    """
+    WITH s AS (SELECT s_nationkey AS nk, s_name,
+                      ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS rn
+               FROM supplier),
+         c AS (SELECT c_nationkey AS nk, c_name,
+                      ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+               FROM customer)
+    SELECT s.nk AS nationkey, s.rn AS rn, s.s_name,
+           COALESCE(c.c_name, '未找到题注') AS matched
+    FROM s LEFT JOIN c ON s.nk = c.nk AND s.rn = c.rn
+    """,
+)
+def j_positional_join(spark, sf_dir):
+    """J1/O2: positional (row_number) equi-join with unmatched sentinel — the
+    caption↔media greedy-by-index pairing (predict/pdf2markdown.py:64-150;
+    the distance ranking at :107-110 is dead code)."""
+    from pyspark.sql import Window
+
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk"),
+        "s_name",
+        F.row_number().over(Window.partitionBy("s_nationkey").orderBy("s_suppkey")).alias("rn"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        "c_name",
+        F.row_number().over(Window.partitionBy("c_nationkey").orderBy("c_custkey")).alias("rn"),
+    )
+    return (
+        s.join(c, ["nk", "rn"], "left")
+        .select(
+            F.col("nk").alias("nationkey"),
+            "rn",
+            "s_name",
+            F.coalesce("c_name", F.lit("未找到题注")).alias("matched"),
+        )
+    )
+
+
+@register(
+    "o_top1_per_group",
+    """
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rk
+      FROM lineitem
+    ) WHERE rk = 1
+    """,
+)
+def o_top1_per_group(spark, sf_dir):
+    """O2: deterministic top-1 per group (caption greedy rank consumes only
+    ranklist[0], predict/pdf2markdown.py:111-114)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_extendedprice"), "l_linenumber")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+    )
+
+
+@register(
+    "m_when_ladder",
+    """
+    SELECT doc_id,
+           CASE WHEN text LIKE 'key %' THEN 'keyword'
+                WHEN text LIKE '%spark%' THEN 'spark'
+                WHEN n_chars < 120 THEN 'short'
+                WHEN n_chars > 320 THEN 'long'
+                ELSE 'text' END AS kind
+    FROM documents
+    """,
+)
+def m_when_ladder(spark, sf_dir):
+    """M1 surrogate: segment-type classification as a when() ladder
+    (decode ladder predict/pdf2markdown.py:391-505)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(F.col("text").like("key %"), "keyword")
+        .when(F.col("text").like("%spark%"), "spark")
+        .when(F.col("n_chars") < 120, "short")
+        .when(F.col("n_chars") > 320, "long")
+        .otherwise("text")
+        .alias("kind"),
+    )
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy keeping the lowest doc_id (training-data
+    pipeline op; map-side partial agg, no skew)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(Q)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(SQL)

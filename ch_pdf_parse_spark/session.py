@@ -1,0 +1,47 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults target the sandbox (single-JVM local[N]) but every knob is the one
+that matters on a real multi-executor cluster at 10^12 documents:
+
+* AQE on (runtime coalescing + skew-join splitting, SURVEY.md §4 Q5/Q6),
+* Arrow execution for the pandas-UDF kernels (no per-row Python, input_hint),
+* nested-schema pruning so the `spans` struct scans only referenced fields.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ch-pdf-parse-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    **extra: str,
+) -> SparkSession:
+    if cores is None:
+        cores_s = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    else:
+        cores_s = str(cores)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores_s}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in extra.items():
+        b = b.config(k, v)
+    return b.getOrCreate()
