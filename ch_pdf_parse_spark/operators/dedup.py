@@ -1,0 +1,304 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a text corpus,
+each with an exactly-matching DuckDB oracle. Cross-engine determinism comes
+from a *portable hash*: the first 15 hex digits of md5 interpreted as int64 —
+identical in Spark (``conv(substr(md5(x),1,15),16,10)``) and DuckDB
+(``('0x'||substr(md5(x),1,15))::BIGINT``). At 100TB you would swap md5 for
+``xxhash64`` (same plan shape, one JVM hash per shingle instead of md5); the
+md5 choice here buys bit-exact oracle parity.
+
+Scale notes (the plans are the ones you'd run on a 1000-executor cluster):
+
+* shingling + min-hash is map-side only (explode → partial min agg);
+* the only shuffles are the band-bucket self-join (LSH's point: candidates,
+  not all pairs) and the final distinct;
+* hot buckets (degenerate shingles) are AQE-skew-join handled; a production
+  guard would also cap bucket width — see ``lsh_candidate_pairs``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register, _t
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4  # 15 bits each; hamming<=threshold pairs share >=1 chunk
+
+
+# ---------------------------------------------------------------------------
+# shared building blocks (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def portable_hash(col, salt: str | None = None):
+    """First 15 hex digits of md5 as int64 — bit-identical in DuckDB."""
+    c = F.concat(F.lit(f"{salt}:"), col) if salt is not None else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def _sql_hash(expr: str, salt: str | None = None) -> str:
+    e = f"concat('{salt}:', {expr})" if salt is not None else expr
+    return f"CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
+
+
+def with_dup_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ deterministic near-duplicates (doc_id+100000, last 5 words
+    dropped) for every doc_id % 7 == 0 — gives the dedup operators real work
+    on the driver's synthetic corpus. SQL twin: ``DUP_CORPUS_SQL``."""
+    dups = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(
+                F.slice(F.split("text", " "), 1,
+                        F.greatest(F.size(F.split("text", " ")) - 5, F.lit(1))),
+                " ").alias("text"),
+        )
+    )
+    return docs.select("doc_id", "text").unionByName(dups)
+
+
+DUP_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 5, 1)], ' ') AS text
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams. Map-side only (explode)."""
+    toks = corpus.select("doc_id", F.split("text", " ").alias("l"))
+    # NB: Spark's sequence(1, 0) is a DESCENDING [1,0], not empty — guard
+    # short docs explicitly (DuckDB's range(1,1) is empty).
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"if(size(l) >= {n}, transform(sequence(1, size(l) - {n - 1}), "
+                f"i -> concat_ws(' ', {', '.join(f'element_at(l, i + {k})' for k in range(n))})), "
+                "array())"
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+SHINGLES_SQL = """
+  SELECT DISTINCT doc_id,
+         unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                 for i in range(1, greatest(len(l) - 1, 1))]) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM ({corpus}))
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """doc_id → m0..m{N-1}: min over shingles of salted portable hash.
+    Partial (map-side) min aggregation — one narrow shuffle on doc_id."""
+    aggs = [F.min(portable_hash(F.col("shingle"), str(i))).alias(f"m{i}")
+            for i in range(N_MINHASH)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band signatures → bucket self-join → candidate pairs (doc_a < doc_b)."""
+    rows = N_MINHASH // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.concat_ws(",", *[F.col(f"m{b * rows + r}").cast("string")
+                                   for r in range(rows)])
+                for b in range(N_BANDS)
+            ])
+        ).alias("band", "sig"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"min({_sql_hash('shingle', str(i))}) AS m{i}" for i in range(N_MINHASH)
+    )
+    rows = N_MINHASH // N_BANDS
+    sigs = ", ".join(
+        "concat_ws(',', " + ", ".join(f"m{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(N_BANDS)
+    )
+    bandidx = ", ".join(str(b) for b in range(N_BANDS))
+    sh = SHINGLES_SQL.format(corpus=DUP_CORPUS_SQL)
+    return f"""
+    WITH sh AS ({sh}),
+         mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+         bands AS (SELECT doc_id, unnest([{sigs}]) AS sig,
+                          unnest([{bandidx}]) AS band FROM mh)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """
+
+
+@register("dedup_minhash_lsh", None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via MinHash(16) + LSH(4 bands × 4 rows) over word
+    3-gram shingles. Candidates only — the LSH contract; verified below by the
+    exact-Jaccard oracle twin."""
+    corpus = with_dup_corpus(_t(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(minhash_signatures(shingles(corpus)))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(sh: DataFrame) -> DataFrame:
+    """60-bit SimHash over shingle hashes (bit j set iff majority of shingles
+    have bit j set). Pure aggregation — map-side partials, one shuffle."""
+    h = portable_hash(F.col("shingle")).alias("h")
+    withbits = sh.select("doc_id", h)
+    bit_sums = [
+        F.sum(F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = withbits.groupBy("doc_id").agg(*bit_sums)
+    sim = sum(
+        (F.when(F.col(f"s{j}") >= 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+         * F.lit(1 << j).cast("bigint"))
+        for j in range(SIMHASH_BITS)
+    )
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(simdf: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """Chunk-bucketed candidate join (4 × 15-bit chunks) + exact hamming
+    filter. Hamming ≤ 10 over 4 chunks ⇒ at least one chunk equal only when
+    hamming ≤ 45/…: for the candidate guarantee we bucket on each chunk —
+    pairs missing in all 4 chunks have hamming ≥ 4, fine for ≤10? No: the
+    pigeonhole guarantee is hamming ≤ 3 ⇒ some chunk equal; larger radii are
+    best-effort recall, exactly like production SimHash dedup."""
+    chunks = simdf.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.expr(f"(simhash >> {15 * c}) & 32767") for c in range(SIMHASH_CHUNKS)
+        ])).alias("chunk", "ckey"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.ckey") == F.col("b.ckey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("long").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def _simhash_sql(max_hamming: int = 10) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    simexpr = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN 1::BIGINT ELSE 0::BIGINT END * {1 << j}::BIGINT)"
+        for j in range(SIMHASH_BITS)
+    )
+    ckeys = ", ".join(f"(simhash >> {15 * c}) & 32767" for c in range(SIMHASH_CHUNKS))
+    cidx = ", ".join(str(c) for c in range(SIMHASH_CHUNKS))
+    sh = SHINGLES_SQL.format(corpus=DUP_CORPUS_SQL)
+    return f"""
+    WITH sh AS ({sh}),
+         hs AS (SELECT doc_id, {_sql_hash('shingle')} AS h FROM sh),
+         bits AS (SELECT doc_id, {sums} FROM hs GROUP BY doc_id),
+         sim AS (SELECT doc_id, {simexpr} AS simhash FROM bits),
+         chunks AS (SELECT doc_id, simhash, unnest([{ckeys}]) AS ckey,
+                           unnest([{cidx}]) AS chunk FROM sim)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT))::BIGINT AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= {max_hamming}
+    """
+
+
+@register("dedup_simhash", None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = with_dup_corpus(_t(spark, sf_dir, "documents"))
+    return simhash_pairs(simhash(shingles(corpus)))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_ngram_jaccard", None)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard over word 3-gram shingle *sets*, candidate pairs from the
+    shared-shingle inverted index (never all-pairs)."""
+    corpus = with_dup_corpus(_t(spark, sf_dir, "documents"))
+    sh = shingles(corpus)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn("jaccard", F.round(
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _jaccard_sql(threshold: float = 0.5) -> str:
+    sh = SHINGLES_SQL.format(corpus=DUP_CORPUS_SQL)
+    return f"""
+    WITH sh AS ({sh}),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                    FROM sh a JOIN sh b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(shared / (na.n + nb.n - shared), 4) AS jaccard
+    FROM shared
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE round(shared / (na.n + nb.n - shared), 4) >= {threshold}
+    """
+
+
+# register the oracle SQL strings (generated, exactly parallel to the Spark plans)
+from ..registry import SQL  # noqa: E402
+
+SQL["dedup_minhash_lsh"] = _minhash_sql()
+SQL["dedup_simhash"] = _simhash_sql()
+SQL["dedup_ngram_jaccard"] = _jaccard_sql()

@@ -1,0 +1,285 @@
+"""Remaining SURVEY.md §2 operator demos on the driver tables, each with a
+DuckDB oracle twin. These demonstrate, on neutral TPC-H-ish data, the exact
+relational primitives the extraction pipeline is built from (file:line of the
+reference semantics cited per query)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..registry import register, _t
+
+
+@register(
+    "f_explode_pos",
+    """
+    SELECT p_partkey,
+           unnest(range(1, len(l) + 1)) - 1 AS pos,
+           unnest(l) AS word
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS l FROM part)
+    """,
+)
+def f_explode_pos(spark, sf_dir):
+    """F1: pages→segments flatten = posexplode (the reference's stateful loop
+    over jsonlist[i]['annotate'], predict/pdf2markdown.py:225-287)."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", F.split("p_name", " ").alias("l"))
+    return p.select(
+        "p_partkey", F.posexplode("l").alias("pos", "word")
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+@register(
+    "f_nest_collect",
+    """
+    SELECT o_custkey, string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_keys,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def f_nest_collect(spark, sf_dir):
+    """F3: segments→document nest = ordered collect_list + join
+    (predict/pdf2markdown.py:549-683 re-assembly)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("o_orderkey")),
+                        lambda x: x.cast("string")), ",").alias("order_keys"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "a_group_concat_empty_sep",
+    """
+    SELECT l_orderkey,
+           string_agg(l_returnflag, '' ORDER BY l_linenumber, l_returnflag) AS merged
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def a_group_concat_empty_sep(spark, sf_dir):
+    """A1/A2: group-concat with EMPTY separator — the Chinese-aware no-space
+    line merge (capstring += segments[0], predict/pdf2markdown.py:116-117)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("l_linenumber", "l_returnflag"))),
+                lambda x: x["l_returnflag"]), "").alias("merged"))
+
+
+@register(
+    "a_session_merge",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, value, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM t
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           round(sum(value), 4) AS session_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def a_session_merge(spark, sf_dir):
+    """A2/M2 pattern: boundary-flag cumulative sum → session/paragraph ids →
+    group merge (the new_line fold, predict/pdf2markdown.py:565-577)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # fractional epoch seconds on both engines (events carry microseconds;
+    # parquet timestamps load as TIMESTAMP_NTZ, which needs a 2-step cast)
+    ep = F.col("ts").cast("timestamp").cast("double")
+    gap = ep - F.lag(ep).over(w)
+    t = e.withColumn(
+        "is_new",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 3600), 1).otherwise(0))
+    s = t.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+
+
+@register(
+    "j_interval_overlap",
+    """
+    SELECT a.event_id AS id_a, b.event_id AS id_b
+    FROM events a JOIN events b
+      ON a.event_type = b.event_type
+     AND a.event_id % 53 = 0
+     AND a.event_id < b.event_id
+     AND a.value < b.value + 5.0
+     AND b.value < a.value + 5.0
+    """,
+)
+def j_interval_overlap(spark, sf_dir):
+    """J3: interval/theta join (citation char-range overlap,
+    train/preprocess.py:170-177) — equi key + range predicates."""
+    e = _t(spark, sf_dir, "events")
+    a = e.where(F.col("event_id") % 53 == 0).alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+               & (F.col("a.event_id") < F.col("b.event_id"))
+               & (F.col("a.value") < F.col("b.value") + 5.0)
+               & (F.col("b.value") < F.col("a.value") + 5.0))
+        .select(F.col("a.event_id").alias("id_a"), F.col("b.event_id").alias("id_b"))
+    )
+
+
+@register(
+    "j_equijoin_broadcast",
+    """
+    SELECT o.o_orderkey, c.c_mktsegment, n.n_name
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    """,
+)
+def j_equijoin_broadcast(spark, sf_dir):
+    """J2: page-aligned equi-join (predict/pdf2markdown.py:292,354,663);
+    small dims broadcast explicitly — no shuffle of the fact side."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("o_orderkey", "c_mktsegment", "n_name")
+    )
+
+
+@register(
+    "o_order_reversal",
+    """
+    SELECT l_orderkey, l_linenumber,
+           300 - ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+             AS order_score
+    FROM lineitem
+    """,
+)
+def o_order_reversal(spark, sf_dir):
+    """O3: reversed order labels order_id = 300 - i (train/preprocess.py:580-581
+    — why bigger score means earlier in the reading-order sort O1)."""
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        (F.lit(300) - F.row_number().over(w)).cast("long").alias("order_score"))
+
+
+@register(
+    "a_markdown_fold",
+    """
+    SELECT l_orderkey,
+           string_agg('   ' || chr(10) || chr(10) || l_returnflag || ':' || l_linenumber,
+                      '' ORDER BY l_linenumber, l_returnflag) AS md
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def a_markdown_fold(spark, sf_dir):
+    """A3: ordered markdown fold — per-record separator + ordered empty-sep
+    concat (mdstring accumulation, predict/pdf2markdown.py:549-654)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.concat(F.lit("   \n\n"), F.col("l_returnflag"), F.lit(":"),
+                 F.col("l_linenumber").cast("string")).alias("frag"))
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("l_linenumber", "frag"))),
+                        lambda x: x["frag"]), "").alias("md"))
+
+
+@register(
+    "x_scalar_funcs",
+    """
+    SELECT p_partkey,
+           string_split(p_type, ' ')[-1] AS last_word,
+           '![](' || p_brand || ')' AS md_image,
+           round(sqrt(power(p_size, 2) + power(p_retailprice / 100, 2)), 4) AS dist,
+           CAST(floor(p_size * (1024.0 / 50 - 0.00001)) AS BIGINT) AS scaled,
+           substr(p_name, 1, greatest(length(p_name) - 4, 0)) AS stem
+    FROM part
+    """,
+)
+def x_scalar_funcs(spark, sf_dir):
+    """X1-X7 scalar functions: element_at(split)[-1] (X3), markdown image
+    format (X2), Euclidean distance (X5), int truncation scaling (X7),
+    filename munging (X4)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.element_at(F.split("p_type", " "), -1).alias("last_word"),
+        F.concat(F.lit("![]("), F.col("p_brand"), F.lit(")")).alias("md_image"),
+        F.round(F.sqrt(F.pow("p_size", F.lit(2)) + F.pow(F.col("p_retailprice") / 100, F.lit(2))), 4).alias("dist"),
+        F.floor(F.col("p_size") * (1024.0 / 50 - 0.00001)).cast("long").alias("scaled"),
+        F.expr("substr(p_name, 1, greatest(length(p_name) - 4, 0))").alias("stem"),
+    )
+
+
+@register(
+    "s_union_all",
+    """
+    SELECT doc_id, source FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'dup_' || source AS source FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def s_union_all(spark, sf_dir):
+    """Set op: multi-source union (jsonlist.extend, train/preprocess.py:22 →
+    unionByName)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(F.col("doc_id") % 2 == 0).select("doc_id", "source").unionByName(
+        d.where(F.col("doc_id") % 3 == 0).select(
+            "doc_id", F.concat(F.lit("dup_"), F.col("source")).alias("source")))
+
+
+@register(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+             AS avg_disc,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark, sf_dir):
+    """Headline aggregation (TPC-H Q1 shape): map-side partial aggregation,
+    decimal sums for cross-engine exactness, tiny result."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.round(
+            F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double") / F.count("*"), 6
+        ).alias("avg_disc"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "p_coalesce_default",
+    """
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderpriority, '1-URGENT'), o_orderstatus) AS effective
+    FROM orders
+    """,
+)
+def p_coalesce_default(spark, sf_dir):
+    """P9: structure_function ← region_type defaulting = coalesce
+    (predict/pdf2markdown.py:226-227)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderpriority", F.lit("1-URGENT")), "o_orderstatus")
+        .alias("effective"))

@@ -1,0 +1,231 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``sim_topk_bruteforce`` — exact cosine top-k: the correctness baseline.
+* ``sim_ann_lsh`` — random-hyperplane LSH (4 bands × 3 bits) candidate
+  generation + exact re-rank: the scale path (candidates ∝ bucket width, not
+  corpus size; the bucket join is the only wide operation).
+* ``dedup_embedding_cosine`` — near-dup pairs by cosine over an inverted
+  LSH-band index union'd with injected exact duplicates.
+
+Cross-engine float determinism: dot products are computed with the SAME
+left-to-right fold in Spark (``aggregate(zip_with(...))``) and DuckDB
+(``list_aggregate(list_transform(a,(x,i) -> x*b[i]),'sum')``) on
+double-cast inputs; emitted cosines are rounded. Hyperplanes are ±1 vectors
+derived from md5 at module load and embedded as literals in both plans.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import SQL, register, _t
+
+DIM = 64
+N_PLANES = 12
+BAND_BITS = 3  # 4 bands x 3 bits
+TOPK = 5
+
+
+def _planes() -> list[list[int]]:
+    out = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(DIM):
+            h = hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) >= 8 else -1)
+        out.append(row)
+    return out
+
+
+PLANES = _planes()
+
+# ---- shared expression builders (kept textually parallel across engines) --
+
+_SPARK_D = "transform({v}, x -> cast(x as double))"
+_SPARK_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+
+def _spark_cos(a: str, b: str) -> str:
+    ad, bd = _SPARK_D.format(v=a), _SPARK_D.format(v=b)
+    return (f"{_SPARK_DOT.format(a=ad, b=bd)} / "
+            f"(sqrt({_SPARK_DOT.format(a=ad, b=ad)}) * sqrt({_SPARK_DOT.format(a=bd, b=bd)}))")
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return f"list_aggregate(list_transform({a}, (x, i) -> x * {b}[i]), 'sum')"
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (f"{_duck_dot(a, b)} / (sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)}))")
+
+
+def _spark_sig_bits(vcol: str) -> str:
+    """Array of N_PLANES sign bits for a double[] column expression."""
+    bits = []
+    for p, plane in enumerate(PLANES):
+        lit = f"array({', '.join(f'{w}D' for w in plane)})"
+        bits.append(f"if({_SPARK_DOT.format(a=vcol, b=lit)} >= 0D, 1, 0)")
+    return f"array({', '.join(bits)})"
+
+
+def _duck_sig_bits(vcol: str) -> str:
+    bits = []
+    for plane in PLANES:
+        lit = f"[{', '.join(f'{w}.0' for w in plane)}]"
+        bits.append(f"CASE WHEN {_duck_dot(vcol, lit)} >= 0 THEN 1 ELSE 0 END")
+    return f"[{', '.join(bits)}]"
+
+
+def _bands_from_bits(bits_expr: str, engine: str) -> list[str]:
+    """4 band keys, each packing BAND_BITS sign bits into an int."""
+    bands = []
+    for b in range(N_PLANES // BAND_BITS):
+        idx = [b * BAND_BITS + r for r in range(BAND_BITS)]
+        if engine == "spark":
+            terms = " + ".join(f"element_at(sig, {i + 1}) * {1 << r}"
+                               for r, i in enumerate(idx))
+        else:
+            terms = " + ".join(f"sig[{i + 1}] * {1 << r}" for r, i in enumerate(idx))
+        bands.append(terms)
+    return bands
+
+
+@register(
+    "sim_topk_bruteforce",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+                  {_duck_cos('q.qv', 'e.v')} AS c
+           FROM q JOIN e ON e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, c,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY c DESC, neighbor_id) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id, rank, round(c, 3) AS cos
+    FROM ranked WHERE rank <= {TOPK}
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k (brute force): the ANN correctness baseline.
+    At scale: broadcast the query set, score map-side, per-query top-k via
+    window (or a TreeAggregate) — no all-pairs shuffle."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_D.format(v="embedding")).alias("v"))
+    q = e.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    scored = (
+        q.join(F.broadcast(e), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.expr(_spark_cos("qv", "v")).alias("c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "rank", F.round("c", 3).alias("cos"))
+    )
+
+
+def _ann_sql() -> str:
+    sig = _duck_sig_bits("v")
+    bands = _bands_from_bits("sig", "duck")
+    band_list = ", ".join(bands)
+    bidx = ", ".join(str(i) for i in range(len(bands)))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         s AS (SELECT vec_id, v, {sig} AS sig FROM e),
+         buckets AS (SELECT vec_id, v, unnest([{band_list}]) AS bkey,
+                            unnest([{bidx}]) AS band FROM s),
+         q AS (SELECT vec_id AS query_id, v AS qv, bkey, band
+               FROM buckets WHERE vec_id % 97 = 0),
+         cand AS (SELECT DISTINCT q.query_id, q.qv, b.vec_id AS neighbor_id, b.v
+                  FROM q JOIN buckets b
+                    ON b.band = q.band AND b.bkey = q.bkey
+                   AND b.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY {_duck_cos('qv', 'v')} DESC,
+                                              neighbor_id) AS rank
+           FROM cand)
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
+    """
+
+
+@register("sim_ann_lsh", None)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: random-hyperplane LSH buckets (4 bands × 3 bits) → candidates →
+    exact cosine re-rank top-3. The bucket join is the only wide op; bucket
+    width bounds candidate count independent of corpus size."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_D.format(v="embedding")).alias("v"))
+    s = e.withColumn("sig", F.expr(_spark_sig_bits("v")))
+    bands = _bands_from_bits("sig", "spark")
+    buckets = s.select(
+        "vec_id", "v",
+        F.posexplode(F.array(*[F.expr(b) for b in bands])).alias("band", "bkey"),
+    )
+    q = buckets.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bkey", "band")
+    cand = (
+        q.join(buckets.alias("b"), (F.col("b.band") == q["band"])
+               & (F.col("b.bkey") == q["bkey"])
+               & (F.col("b.vec_id") != F.col("query_id")))
+        .select("query_id", "qv", F.col("b.vec_id").alias("neighbor_id"),
+                F.col("b.v").alias("v"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.expr(_spark_cos("qv", "v")).desc(), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+SQL["sim_ann_lsh"] = _ann_sql()
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         corpus AS (
+           SELECT vec_id, v FROM base
+           UNION ALL
+           SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 0.5) AS v
+           FROM base WHERE vec_id % 11 = 0),
+         pairs AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  {_duck_cos('a.v', 'b.v')} AS c
+           FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, round(c, 2) AS cos
+    FROM pairs WHERE c > 0.95
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine > 0.95). Brute-force pair generation
+    here (sf-scale); the LSH-bucketed candidate variant is sim_ann_lsh — at
+    100TB you compose: buckets → candidate pairs → exact cosine filter."""
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_D.format(v="embedding")).alias("v"))
+    dups = base.where(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(v, x -> x * 0.5D)").alias("v"))
+    corpus = base.unionByName(dups)
+    a, b = corpus.alias("a"), corpus.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+        F.expr(_spark_cos("a.v", "b.v")).alias("c"))
+    return pairs.where(F.col("c") > 0.95).select(
+        "vec_a", "vec_b", F.round("c", 2).alias("cos"))

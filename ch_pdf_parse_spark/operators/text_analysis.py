@@ -1,0 +1,157 @@
+"""Text-analysis operators for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting, citation extraction.
+
+All pure column expressions (JVM-side, whole-stage codegen — no Python in the
+hot path), each with an exactly-matching DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import constants as C
+from ..registry import register, _t
+from .dedup import portable_hash
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_CJK = r"[\x{4e00}-\x{9fff}]"
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "text_lang_id",
+    f"""
+    SELECT doc_id,
+           CASE WHEN len(regexp_extract_all(text, '{_CJK}')) * 1.0
+                     / greatest(length(text), 1) > 0.3 THEN 'zh'
+                WHEN len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                     / greatest(length(text), 1) > 0.5 THEN 'en'
+                ELSE 'und' END AS lang_pred
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by character-class n-gram heuristic (CJK vs latin ratio)."""
+    d = _t(spark, sf_dir, "documents")
+    cjk = F.size(F.regexp_extract_all("text", F.lit(_CJK), F.lit(0)))
+    lat = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]"), F.lit(0)))
+    tot = F.greatest(F.length("text"), F.lit(1))
+    return d.select(
+        "doc_id",
+        F.when(cjk * 1.0 / tot > 0.3, "zh")
+        .when(lat * 1.0 / tot > 0.5, "en")
+        .otherwise("und")
+        .alias("lang_pred"),
+    )
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars2,
+           len(l) AS n_tokens,
+           round(length(text) * 1.0 / greatest(len(l), 1), 4) AS avg_tok_len,
+           round(len(list_filter(l, x -> x IN {_STOPWORDS})) * 1.0
+                 / greatest(len(l), 1), 4) AS stopword_ratio,
+           round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0
+                 / greatest(length(text), 1), 4) AS punct_ratio
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: length, token count, mean token length, stopword and
+    punctuation ratios (the usual pre-training quality filters)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split("text", " ").alias("l"))
+    ntok = F.greatest(F.size("l"), F.lit(1))
+    stop_in = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars2"),
+        F.size("l").alias("n_tokens"),
+        F.round(F.length("text") * 1.0 / ntok, 4).alias("avg_tok_len"),
+        F.round(F.size(F.expr(f"filter(l, x -> x IN ({stop_in}))")) * 1.0 / ntok, 4)
+        .alias("stopword_ratio"),
+        F.round(
+            F.size(F.expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)")) * 1.0
+            / F.greatest(F.length("text"), F.lit(1)), 4,
+        ).alias("punct_ratio"),
+    )
+
+
+@register(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                     for i in range(1, greatest(len(l) - 1, 1))]) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    )
+    SELECT d.doc_id,
+           md5(d.text) AS content_hash,
+           m.fp_min
+    FROM documents d
+    LEFT JOIN (SELECT doc_id,
+                      min(CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)) AS fp_min
+               FROM sh GROUP BY doc_id) m
+      ON m.doc_id = d.doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact content hash + bottom-1 shingle sketch
+    (the building block of winnowing/rolling-hash fingerprints)."""
+    from .dedup import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    fp = shingles(d.select("doc_id", "text")).groupBy("doc_id").agg(
+        F.min(portable_hash(F.col("shingle"))).alias("fp_min"))
+    return (
+        d.select("doc_id", F.md5("text").alias("content_hash"))
+        .join(fp, "doc_id", "left")
+        .select("doc_id", "content_hash", "fp_min")
+    )
+
+
+@register("m4_citations", None)
+def m4_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4/CE surrogate: citation-span extraction over the synthetic corpus
+    body text (regex over `[n]`/`[n,m]` markers). The reference computes
+    token_type and never consumes it (predict/pdf2markdown.py:364); exposed
+    as a derived table, excluded from the span-equality invariant.
+    Rows-only check: runs on the fixture corpus, not a registered view."""
+    from ..registry import fixture_docs
+
+    docs = fixture_docs(spark, sf_dir)
+    spans = docs.select("doc_id", F.explode("spans").alias("s"))
+    return (
+        spans.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"regexp_extract_all(s.text, '{C.CITATION_REGEX}', 0)")
+            ).alias("citation"),
+        )
+        .groupBy("doc_id", "citation")
+        .agg(F.count("*").alias("n"))
+    )

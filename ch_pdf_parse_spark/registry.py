@@ -81,6 +81,22 @@ def extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("extract_spans_relational")
+def extract_spans_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship semantics via the pure-relational pipeline (Catalyst-visible
+    windows/joins/folds) — differential twin of extract_spans."""
+    from .relational import extract_documents_relational
+
+    out = extract_documents_relational(fixture_docs(spark, sf_dir))
+    return out.select("doc_id", F.posexplode("spans").alias("pos", "s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("ord"),
+    )
+
+
 @register("extract_markdown")
 def extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: per-document markdown fold (A3/A4, predict/pdf2markdown.py:549-683)."""
@@ -300,8 +316,16 @@ def dedup_exact(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_operator_modules()
     return dict(Q)
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_operator_modules()
     return dict(SQL)
+
+
+def _load_operator_modules() -> None:
+    """Import operator modules for their @register side effects (deferred to
+    avoid import cycles)."""
+    from .operators import dedup, relational_ops, similarity, text_analysis  # noqa: F401

@@ -1,0 +1,254 @@
+"""Relational (pure-DataFrame) extraction pipeline.
+
+The same semantics as ``pipeline.extract_documents`` expressed as Catalyst
+relational operators — every SURVEY.md §2 primitive visible in the plan:
+
+* F1  pages→segments flatten ............ ``posexplode``
+* P5-P9 geometry/defaulting ............. column arithmetic (offset codec)
+* M1  segment classification ............ ``when()`` ladder (+ continuation
+                                           inheritance via ``last(..., True)``)
+* M3  reading order ..................... XY-cut ``applyInPandas`` per
+                                           (doc,page) — the one UDF; Spark has
+                                           no projection-profile operator
+* M2  paragraph boundary ................ ``lag()`` window rule
+* A1/A2 caption & paragraph merge ....... cumulative-sum session ids +
+                                           ordered ``collect_list``/``array_join``
+                                           with EMPTY separator (Chinese-aware)
+* O1  reading-order sort ................ window/`array_sort` ordering keys
+* J1/O2 caption↔media pairing ........... ``row_number`` positional equi-join
+                                           + sentinel ``coalesce``
+* A3/A4/A5 markdown fold ................ per-span fragments + ordered
+                                           ``array_sort``/``transform``/``array_join``
+* F3  segments→document nest ............ ``groupBy(doc_id).agg(...)``
+
+Differentially tested against the golden oracle and the zero-shuffle grouped
+path (tests/test_relational.py). The grouped path is the 100TB production
+plan (no shuffle); this one exists for Catalyst-visibility, operator parity
+and cross-validation — and is itself scale-sane: all shuffles are on
+(doc_id[, page]) keys, AQE-coalesced.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from . import constants as C
+from . import core
+from .pipeline import OUTPUT_SCHEMA
+
+_ORDERED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("page", T.IntegerType()),
+    T.StructField("idx", T.IntegerType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("y1", T.IntegerType()),
+    T.StructField("x1", T.IntegerType()),
+    T.StructField("rank", T.IntegerType()),
+    T.StructField("region_x0", T.IntegerType()),
+])
+
+
+def _xy_cut_page(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: per-(doc,page) XY-cut → (rank, region_x0)."""
+    boxes = [
+        core.derive_box(k, t, int(x), int(y))
+        for k, t, x, y in zip(pdf["kind"], pdf["text"], pdf["x1"], pdf["y1"])
+    ]
+    rank = [0] * len(boxes)
+    x0s = [0] * len(boxes)
+    for r, (i, x0) in enumerate(core.xy_cut(boxes)):
+        rank[i] = r
+        x0s[i] = x0
+    out = pdf.copy()
+    out["rank"] = rank
+    out["region_x0"] = x0s
+    return out
+
+
+def classify_expr(kind, text, page, y1):
+    """M1 surrogate as a pure-column ladder (mirror of core.classify_kind;
+    reference decode ladder predict/pdf2markdown.py:380-510)."""
+    return (
+        F.when(kind != C.UNLABELED, kind)
+        .when(text == C.EQUATION_TEXT, "equation")
+        .when(text.rlike(r"^图[0-9]"), "figure_caption")
+        .when(text.rlike(r"^表[0-9]"), "table_caption")
+        .when(text.rlike(r"^\[[0-9]+\]"), "reference")
+        .when(text.startswith("摘要"), "abstract")
+        .when(text.startswith("关键词"), "keyword")
+        .when(y1 < C.HEADER_Y_MAX, "header")
+        .when((page == 0) & (y1 < C.TITLE_Y_MAX), "title")
+        .otherwise("text")
+    )
+
+
+def explode_documents(docs: DataFrame) -> DataFrame:
+    """F1 + offset decode (P6/P7 analog arithmetic)."""
+    return (
+        docs.select("doc_id", F.posexplode("spans").alias("idx", "s"))
+        .select(
+            "doc_id",
+            "idx",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.floor(F.col("s.offset") / C.OFFSET_PAGE).cast("int").alias("page"),
+            F.floor((F.col("s.offset") % C.OFFSET_PAGE) / C.OFFSET_Y).cast("int").alias("y1"),
+            (F.col("s.offset") % C.OFFSET_Y).cast("int").alias("x1"),
+        )
+    )
+
+
+def extract_documents_relational(docs: DataFrame) -> DataFrame:
+    from .packaging import ensure_on_executors
+
+    ensure_on_executors(docs.sparkSession)
+
+    e = explode_documents(docs)
+    media = e.where(F.col("kind").isin("figure", "table"))
+    txt = (
+        e.where(~F.col("kind").isin("figure", "table"))
+        .withColumn("kind", classify_expr(F.col("kind"), F.col("text"),
+                                          F.col("page"), F.col("y1")))
+        .withColumn("text", F.when(F.col("kind") == "equation",
+                                   F.lit(C.EQUATION_TEXT)).otherwise(F.col("text")))
+        .where(F.col("kind") != C.IRRELEVANT)  # P3: segment_type 0 dropped
+    )
+
+    # M3: XY-cut reading order (the single non-relational kernel)
+    ordered = txt.groupBy("doc_id", "page").applyInPandas(_xy_cut_page, _ORDERED_SCHEMA)
+
+    # M2: paragraph-boundary rule over document reading order
+    w = Window.partitionBy("doc_id").orderBy("page", "rank")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dy = F.when(F.col("page") == F.lag("page").over(w),
+                F.col("y1") - F.lag("y1").over(w)).otherwise(F.lit(-1))
+    t2 = (
+        ordered.withColumn(
+            "new_line",
+            F.lag("y1").over(w).isNull()
+            | (dy > C.NEWLINE_DY)
+            | ((dy <= 0) & ((F.col("x1") - F.col("region_x0")) > C.NEWLINE_DX)),
+        )
+        # continuation inheritance: running last kind over paragraph openers
+        .withColumn("kind_eff",
+                    F.last(F.when(F.col("new_line"), F.col("kind")), True).over(wc))
+        .withColumn("seq", F.row_number().over(w))
+    )
+
+    body = t2.where(F.col("kind_eff").isin(*C.BODY_KINDS))
+    caps = t2.where(F.col("kind_eff").isin(*C.CAPTION_KINDS))
+    eqs = t2.where(F.col("kind_eff") == "equation")
+
+    # A2: paragraph merge — cumulative-sum paragraph ids over body spans,
+    # group-concat with EMPTY separator (predict/pdf2markdown.py:565-651)
+    wb = Window.partitionBy("doc_id").orderBy("seq") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    body = body.withColumn("para_id", F.sum(F.col("new_line").cast("int")).over(wb))
+    body_recs = body.groupBy("doc_id", "para_id").agg(
+        F.min_by("kind_eff", "seq").alias("kind"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("seq", "text"))),
+                        lambda x: x["text"]), "").alias("text"),
+    )
+
+    # A1: caption line-merge — same session pattern per (doc, page, kind)
+    wcap = Window.partitionBy("doc_id", "page", "kind_eff").orderBy("seq") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cap_groups = (
+        caps.withColumn("grp", F.sum(F.col("new_line").cast("int")).over(wcap))
+        .groupBy("doc_id", "page", "kind_eff", "grp")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("seq", "text"))),
+                            lambda x: x["text"]), "").alias("cap_text"),
+            F.min("seq").alias("gseq"),
+        )
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("doc_id", "page", "kind_eff").orderBy("gseq")))
+    )
+
+    # J1/O2: positional (index) join — greedy-by-index caption assignment
+    # (predict/pdf2markdown.py:111,138; distance ranking is dead code)
+    media_rn = media.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("doc_id", "page", "kind").orderBy("idx"))
+    ).withColumn("cap_kind", F.concat(F.col("kind"), F.lit("_caption")))
+    matched = (
+        media_rn.join(
+            cap_groups.select("doc_id", "page",
+                              F.col("kind_eff").alias("cap_kind"), "rn", "cap_text"),
+            ["doc_id", "page", "cap_kind", "rn"], "left")
+        .withColumn("cap", F.coalesce("cap_text", F.lit(C.UNMATCHED_CAPTION)))
+    )
+
+    # ---- output span assembly (F3 nest) --------------------------------
+    body_out = body_recs.select(
+        "doc_id", F.lit(0).alias("s1"), F.col("para_id").cast("long").alias("s2"),
+        F.lit(0).alias("s3"), "kind", "text", F.lit("").alias("media_ref"))
+    media_out = matched.select(
+        "doc_id",
+        F.when(F.col("kind") == "table", 1).otherwise(2).alias("s1"),
+        F.col("page").cast("long").alias("s2"), F.col("rn").alias("s3"),
+        F.col("cap_kind").alias("kind"), F.col("cap").alias("text"), "media_ref")
+    spans_nested = (
+        body_out.unionByName(media_out)
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("s1", "s2", "s3", "kind", "text", "media_ref"))),
+                lambda x, i: F.struct(
+                    x["kind"].alias("kind"), x["text"].alias("text"),
+                    x["media_ref"].alias("media_ref"), i.cast("int").alias("offset")),
+            ).alias("spans")
+        )
+    )
+
+    # ---- markdown fold (A3/A4/A5) as ordered fragments ------------------
+    body_frag = body.select(
+        "doc_id", "page", F.lit(0).alias("p2"), F.col("rank").alias("p3"),
+        F.when(F.col("new_line") & (F.col("kind_eff") == "title"),
+               F.concat(F.lit(C.SEP_TITLE), F.col("text")))
+        .when(F.col("new_line"), F.concat(F.lit(C.SEP_PARA), F.col("text")))
+        .otherwise(F.col("text")).alias("frag"))
+    eq_frag = eqs.select(
+        "doc_id", "page", F.lit(0).alias("p2"), F.col("rank").alias("p3"),
+        F.format_string("![](%s)" + C.SEP_MEDIA, F.col("text")).alias("frag"))
+    page_frag = e.select("doc_id", "page").distinct().select(
+        "doc_id", "page", F.lit(1).alias("p2"), F.lit(0).alias("p3"),
+        F.lit(C.PAGE_SEP).alias("frag"))
+    tab_frag = matched.where(F.col("kind") == "table").select(
+        "doc_id", "page", F.lit(2).alias("p2"), F.col("rn").alias("p3"),
+        F.format_string("%s" + C.SEP_MEDIA + "![](%s)" + C.SEP_MEDIA,
+                        F.col("cap"), F.col("media_ref")).alias("frag"))
+    fig_frag = matched.where(F.col("kind") == "figure").select(
+        "doc_id", "page", F.lit(3).alias("p2"), F.col("rn").alias("p3"),
+        F.format_string("![](%s)" + C.SEP_MEDIA + "%s" + C.SEP_MEDIA,
+                        F.col("media_ref"), F.col("cap")).alias("frag"))
+    md = (
+        body_frag.unionByName(eq_frag).unionByName(page_frag)
+        .unionByName(tab_frag).unionByName(fig_frag)
+        .groupBy("doc_id")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("page", "p2", "p3", "frag"))),
+                lambda x: x["frag"]), "").alias("markdown"))
+    )
+
+    out = (
+        docs.select("doc_id")
+        .join(spans_nested, "doc_id", "left")
+        .join(md, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("spans", F.array().cast(OUTPUT_SCHEMA["spans"].dataType))
+            .alias("spans"),
+            F.coalesce("markdown", F.lit("")).alias("markdown"),
+        )
+    )
+    return out
