@@ -1,0 +1,168 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32):
+
+* q_extract            — flagship zero-shuffle extraction (docs/sec metric)
+* q_extract_relational — Catalyst-visible pipeline, same semantics
+* q_dedup_minhash      — MinHash+LSH near-dup candidates over documents
+* q_sim_topk           — brute-force cosine top-k over embeddings
+* q_agg_pricing        — TPC-H Q1-shape aggregation over lineitem
+
+``--scaling`` additionally runs the flagship at two parallelism levels
+(local[8] vs local[32]) on the SAME input and reports throughput at both plus
+scaling efficiency — the in-sandbox evidence for BASELINE.json's N→4N ≥ 0.8
+criterion (no real cluster available; see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ch_pdf_parse_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+FIXTURE_BASE = os.environ.get("SPARK_GRAFT_FIXTURE_DIR", "/root/repo/.fixtures")
+
+
+def _sf_of(sf_dir: str) -> float:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(tag.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_corpus_dir(sf: float, n_docs: int | None = None):
+    """Bench-sized synthetic corpus, generated Spark-parallel and cached.
+
+    Sized so the 32-core run is compute-bound, not startup-bound (~10s+ of
+    kernel work): ~400k docs/sf-unit. Written as many part-files — a 10^12-doc
+    Iceberg table is millions of files; a single file would serialize the
+    zero-shuffle map on one partition."""
+    if n_docs is None:
+        n_docs = max(400, int(sf * 400000))
+    out = os.path.join(FIXTURE_BASE, f"bench_{n_docs}_v3")
+    docs_dir = os.path.join(out, "documents.parquet")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        from ch_pdf_parse_spark.gen_spark import write_corpus_spark
+
+        spark = get_spark("bench-gen", cores=CPUS)
+        try:
+            write_corpus_spark(spark, n_docs, docs_dir, n_files=128)
+        finally:
+            spark.stop()
+        with open(marker, "w") as f:
+            f.write(str(n_docs))
+    with open(marker) as f:
+        n = int(f.read() or "0")
+    return out, n
+
+
+def _run(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def run_extraction(cores: int, corpus_path: str, relational: bool = False,
+                   shuffle_partitions: int | None = None, runs: int = 2,
+                   doc_limit: str | None = None) -> float:
+    from ch_pdf_parse_spark.pipeline import extract_documents
+    from ch_pdf_parse_spark.relational import extract_documents_relational
+
+    spark = get_spark(f"bench-extract-{cores}", cores=cores,
+                      shuffle_partitions=shuffle_partitions or max(32, cores * 4),
+                      **{"spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024)})
+    try:
+        docs = spark.read.parquet(os.path.join(corpus_path, "documents.parquet"))
+        if doc_limit:
+            docs = docs.where(f"doc_id < '{doc_limit}'")
+        # ~3 tasks per core: python-worker fork costs ~0.25s/task in this
+        # build, so task count is sized to amortize it while keeping waves
+        # balanced (coalesce = no shuffle)
+        docs = docs.coalesce(cores * 3)
+        fn = extract_documents_relational if relational else extract_documents
+        # warmup (JIT, Arrow python-worker spin-up, page cache), then best-of-N
+        _run(fn(docs.limit(64)))
+        return min(_run(fn(docs)) for _ in range(runs))
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    scaling = "--scaling" in sys.argv
+    sf = _sf_of(SF_DIR)
+    corpus_path, n_docs = bench_corpus_dir(sf)
+
+    queries: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    t_extract = run_extraction(CPUS, corpus_path)
+    queries["q_extract"] = round(t_extract, 3)
+    extras["docs_per_sec"] = round(n_docs / t_extract, 1)
+    extras["n_docs"] = n_docs
+
+    # the relational twin is for plan-visibility, not the scale path — bench a
+    # deterministic 2000-doc slice so the round stays fast
+    queries["q_extract_relational_2k"] = round(
+        run_extraction(CPUS, corpus_path, relational=True, runs=1,
+                       doc_limit="doc_002000"), 3)
+
+    spark = get_spark("bench-queries", cores=CPUS, shuffle_partitions=max(32, CPUS * 4))
+    try:
+        from ch_pdf_parse_spark.operators.dedup import dedup_minhash_lsh
+        from ch_pdf_parse_spark.operators.relational_ops import agg_pricing_summary
+        from ch_pdf_parse_spark.operators.similarity import sim_topk_bruteforce
+
+        for name, fn in [("q_dedup_minhash", dedup_minhash_lsh),
+                         ("q_sim_topk", sim_topk_bruteforce),
+                         ("q_agg_pricing", agg_pricing_summary)]:
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            queries[name] = round(time.time() - t0, 3)
+    finally:
+        spark.stop()
+
+    if scaling:
+        # N→4N evidence: same job, same input, two parallelism levels.
+        # Two pairs are reported: 2→8 cores (uncontended region of the box)
+        # and 8→32 (the full box, where hypervisor steal + the shared-JVM
+        # feed side distort local-mode numbers — see BENCH/BASELINE.md).
+        # Best-of-3 per config to ride out noisy-neighbor steal spikes.
+        sc_path, sc_docs = bench_corpus_dir(sf, n_docs=max(n_docs, 100_000))
+        extras["scaling"] = {}
+        for lo, hi, path, nd in [(2, 8, corpus_path, n_docs),
+                                 (8, 32, sc_path, sc_docs)]:
+            if hi > CPUS:
+                continue
+            t_hi = run_extraction(hi, path, runs=3)
+            t_lo = run_extraction(lo, path, runs=3)
+            thr_lo, thr_hi = nd / t_lo, nd / t_hi
+            extras["scaling"][f"local[{lo}]->local[{hi}]"] = {
+                "n_docs": nd,
+                f"docs_per_sec_local[{lo}]": round(thr_lo, 1),
+                f"docs_per_sec_local[{hi}]": round(thr_hi, 1),
+                "efficiency": round((thr_hi / thr_lo) / (hi / lo), 3),
+            }
+
+    out = {
+        "metric": "extract_e2e_wall_sec",
+        "value": queries["q_extract"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -84,5 +84,8 @@ CITATION_REGEX = r"\[[0-9][0-9,\-\s]*\]"
 
 # skew handling: documents with more spans than this are salted page-wise
 # (north_rule; replaces the reference's drop-pages->4200-tokens guard at
-# /root/reference/train/preprocess.py:568-571)
-SALT_SPAN_THRESHOLD = 2000
+# /root/reference/train/preprocess.py:568-571). Threshold rationale: the
+# inline kernel costs ~2.5ms per ~200 spans, so a 20k-span doc is ~250ms —
+# salting (explode + 2 narrow shuffles of just that doc) only pays once a
+# single doc would stall its partition for seconds.
+SALT_SPAN_THRESHOLD = 20_000

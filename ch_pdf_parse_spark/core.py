@@ -113,6 +113,25 @@ def _gaps(intervals: list[tuple[int, int]], min_gap: int) -> list[int]:
     return cuts
 
 
+def _groups_1d(idxs: list[int], lo, hi, min_gap: int) -> list[list[int]]:
+    """Maximal runs of ``idxs`` (pre-sorted by lo) whose interval union has no
+    gap >= min_gap; adjacent runs are separated by such a gap."""
+    groups: list[list[int]] = []
+    cur = [idxs[0]]
+    cur_hi = hi[idxs[0]]
+    for i in idxs[1:]:
+        if lo[i] - cur_hi >= min_gap:
+            groups.append(cur)
+            cur = [i]
+            cur_hi = hi[i]
+        else:
+            cur.append(i)
+            if hi[i] > cur_hi:
+                cur_hi = hi[i]
+    groups.append(cur)
+    return groups
+
+
 def xy_cut(boxes: list[tuple[int, int, int, int]]) -> list[tuple[int, int]]:
     """Deterministic recursive XY-cut.
 
@@ -130,34 +149,73 @@ def xy_cut(boxes: list[tuple[int, int, int, int]]) -> list[tuple[int, int]]:
     (SURVEY.md §7.3).
     """
     order: list[tuple[int, int]] = []
+    if not boxes:
+        return order
+    x1s = [b[0] for b in boxes]
+    y1s = [b[1] for b in boxes]
+    x2s = [b[2] for b in boxes]
+    y2s = [b[3] for b in boxes]
+
+    def leaf(idxs: list[int], x0: int) -> None:
+        idxs.sort(key=lambda i: (y1s[i], x1s[i], i))
+        order.extend((i, x0) for i in idxs)
+
+    def xgroups(idxs: list[int]) -> list[list[int]] | None:
+        xo = sorted(idxs, key=lambda i: x1s[i])
+        groups = _groups_1d(xo, x1s, x2s, C.XY_MIN_GAP_X)
+        return groups if len(groups) > 1 else None
+
+    def band_standalone(band: list[int], x0: int) -> None:
+        """One y-band (no internal y-gap): x-split if possible, else leaf."""
+        if len(band) == 1:
+            order.append((band[0], x0))
+            return
+        bg = xgroups(band)
+        if bg:
+            for grp in bg:
+                recurse(grp, min(x1s[i] for i in grp))
+        else:
+            leaf(band, x0)
 
     def recurse(idxs: list[int], region_x0: int) -> None:
         if len(idxs) == 1:
             order.append((idxs[0], region_x0))
             return
-        xcuts = _gaps([(boxes[i][0], boxes[i][2]) for i in idxs], C.XY_MIN_GAP_X)
-        if xcuts:
-            groups: list[list[int]] = [[] for _ in range(len(xcuts) + 1)]
-            for i in idxs:
-                g = sum(1 for c in xcuts if boxes[i][0] >= c)
-                groups[g].append(i)
-            for grp in groups:
-                if grp:
-                    recurse(grp, min(boxes[i][0] for i in grp))
+        g = xgroups(idxs)
+        if g:
+            for grp in g:
+                recurse(grp, min(x1s[i] for i in grp))
             return
-        ycuts = _gaps([(boxes[i][1], boxes[i][3]) for i in idxs], C.XY_MIN_GAP_Y)
-        if ycuts:
-            cut = ycuts[0]  # topmost gap only: strip the top band, recurse
-            top = [i for i in idxs if boxes[i][1] < cut]
-            rest = [i for i in idxs if boxes[i][1] >= cut]
-            recurse(top, region_x0)
-            recurse(rest, region_x0)
+        yo = sorted(idxs, key=lambda i: y1s[i])
+        bands = _groups_1d(yo, y1s, y2s, C.XY_MIN_GAP_Y)
+        if len(bands) == 1:
+            leaf(bands[0], region_x0)
             return
-        for i in sorted(idxs, key=lambda i: (boxes[i][1], boxes[i][0], i)):
-            order.append((i, region_x0))
+        # Peel bands top-down; after each band, if the *remaining suffix*
+        # opens a vertical gap (e.g. a full-width banner peeled off a
+        # 2-column body), restart on the suffix so the gutter X-cut wins.
+        # The suffix gap check reuses one x-sorted pass (no re-sorts).
+        xo = sorted(idxs, key=lambda i: x1s[i])
+        band_of = {i: bi for bi, band in enumerate(bands) for i in band}
+        for bi in range(len(bands) - 1):
+            band_standalone(bands[bi], region_x0)
+            lo = bi + 1
+            cur_hi = None
+            has_gap = False
+            for i in xo:
+                if band_of[i] < lo:
+                    continue
+                if cur_hi is not None and x1s[i] - cur_hi >= C.XY_MIN_GAP_X:
+                    has_gap = True
+                    break
+                cur_hi = x2s[i] if cur_hi is None or x2s[i] > cur_hi else cur_hi
+            if has_gap:
+                rest = [i for i in xo if band_of[i] >= lo]
+                recurse(rest, region_x0)
+                return
+        band_standalone(bands[-1], region_x0)
 
-    if boxes:
-        recurse(list(range(len(boxes))), min(b[0] for b in boxes))
+    recurse(list(range(len(boxes))), min(x1s))
     return order
 
 

@@ -273,7 +273,9 @@ def write_corpus(sf: float, base: str | None = None, seed: int = 42,
         geom_rows.extend(b.geom)
 
     docs = pa.table({"doc_id": pa.array(doc_ids, pa.string()),
-                     "spans": pa.array(spans_col, pa.list_(span_t))})
+                     "spans": pa.array(spans_col, pa.list_(span_t)),
+                     # stored stats column for scan-prunable skew routing
+                     "n_spans": pa.array([len(s) for s in spans_col], pa.int32())})
     pq.write_table(docs, os.path.join(out, "documents.parquet"))
     geom = pa.table({k: [r[k] for r in geom_rows]
                      for k in ("doc_id", "span_idx", "page_id", "x1", "y1",

@@ -1,0 +1,154 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested — schema, Arrow batch shape,
+``mapInPandas`` UDF signatures, partitioning — while the actual codec work is
+stubbed deterministically (this container ships no image/audio libraries; a
+real deployment drops PIL/torchaudio/pyav into ``_decode_*`` behind the same
+interface). Mirrors how the reference treats media: crop bytes are opaque
+artifacts carried by path (``img_save_path``, /root/reference/
+predict/ppocr_server.py:103-116), never re-interpreted downstream.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..registry import fixture_docs, register
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("media_type", T.StringType()),   # image | audio | video
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+    ])),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake binary corpus from the documents table's media refs
+    (payload = repeated md5 bytes of the ref; metadata from the hash). Stands
+    in for an Iceberg media table with a real binary column."""
+    media = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.media_ref") != "")
+        .select("doc_id", F.col("s.media_ref").alias("media_ref"),
+                F.col("s.kind").alias("kind"))
+    )
+    return media.select(
+        "doc_id", "media_ref",
+        F.when(F.col("kind") == "figure", "image")
+        .when(F.col("kind") == "table", "image")
+        .otherwise("video").alias("media_type"),
+        F.unhex(F.repeat(F.md5("media_ref"), 64)).alias("payload"),  # 1 KiB
+        F.struct(
+            (F.conv(F.substring(F.md5("media_ref"), 1, 4), 16, 10) % 1024 + 16)
+            .cast("int").alias("width"),
+            (F.conv(F.substring(F.md5("media_ref"), 5, 4), 16, 10) % 1024 + 16)
+            .cast("int").alias("height"),
+            (F.conv(F.substring(F.md5("media_ref"), 9, 2), 16, 10) % 32 + 1)
+            .cast("int").alias("n_frames"),
+            F.lit("fake/deterministic").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB: real deployments decode with PIL/opencv here. The deterministic
+    fake interprets the payload bytes as a tiled grayscale image so feature
+    extraction downstream is testable end-to-end."""
+    try:
+        import PIL.Image  # noqa: F401  (not present in this container)
+
+        raise NotImplementedError("real image decode wired but lib unavailable")
+    except ImportError:
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+        need = width * height
+        tiled = np.resize(arr, need)
+        return tiled.reshape(height, width)
+
+
+def extract_media_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """mapInPandas feature extraction: decode (stub) → pooled features.
+
+    Arrow-batched, no per-row Python at the Spark layer; within a batch the
+    loop is per-media-object, which is the irreducible unit of codec work.
+    At scale: partition by doc_id bucket; payloads stream through workers
+    without ever landing on the driver."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats, nbytes = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                img = _decode_image(bytes(payload), int(meta["width"]),
+                                    int(meta["height"]))
+                # pooled stats per row-band: a stand-in for a CNN embedding
+                bands = np.array_split(img, dim)
+                feats.append([float(np.round(b.mean(), 3)) for b in bands])
+                nbytes.append(len(payload))
+            out = pdf[["doc_id", "media_ref", "media_type"]].copy()
+            out["n_bytes"] = pd.Series(nbytes, index=pdf.index, dtype="int32")
+            out["feature"] = feats
+            yield out
+
+    from ..packaging import ensure_on_executors
+
+    ensure_on_executors(media.sparkSession)
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, every: int = 4) -> DataFrame:
+    """Frame sampling stub: explode frame indices 0..n_frames-1, keep every
+    k-th — the pure-relational part of video sampling (the decode itself
+    would live in a mapInPandas like extract_media_features)."""
+    return (
+        media.where(F.col("media_type") == "video")
+        .select("doc_id", "media_ref",
+                F.explode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1))
+                .alias("frame_idx"))
+        .where(F.col("frame_idx") % every == 0)
+    )
+
+
+@register("multimodal_features", None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media corpus → deterministic decode-stub features (rows-only
+    check: binary columns are not SQL-oracle-comparable)."""
+    media = synthesize_media(fixture_docs(spark, sf_dir))
+    return extract_media_features(media).select(
+        "doc_id", "media_ref", "media_type", "n_bytes",
+        F.round(F.element_at("feature", 1), 3).alias("f0"))
+
+
+@register(
+    "multimodal_frame_sample",
+    None,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(fixture_docs(spark, sf_dir))
+    return sample_video_frames(media)
+
+
+def _expected_feature(media_ref: str, width: int, height: int, dim: int = 8):
+    """Test helper: oracle for the deterministic fake pipeline."""
+    payload = hashlib.md5(media_ref.encode()).digest() * 64
+    img = _decode_image(payload, width, height)
+    return [float(np.round(b.mean(), 3)) for b in np.array_split(img, dim)]

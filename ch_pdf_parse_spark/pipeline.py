@@ -74,18 +74,43 @@ def _spans_to_tuples(spans) -> list[tuple[str, str, str, int]]:
     return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
 
 
-def _extract_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in it:
-        out_docs, out_spans, out_md = [], [], []
-        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-            recs, md = core.extract_document(_spans_to_tuples(spans))
-            out_docs.append(doc_id)
+def _extract_arrow(it):
+    """mapInArrow kernel: operate on the columnar batch directly — the nested
+    spans array is consumed as flat child arrays (no per-span dict
+    materialization, which costs more than the extraction itself)."""
+    import pyarrow as pa
+
+    out_span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                            ("media_ref", pa.string()), ("offset", pa.int32())])
+    for batch in it:
+        doc_ids = batch.column("doc_id")
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):  # normalize
+            spans = spans.combine_chunks()
+        lst = spans
+        offs = lst.offsets.to_numpy(zero_copy_only=False)
+        vals = lst.values
+        kinds = vals.field("kind").to_pylist()
+        texts = vals.field("text").to_pylist()
+        refs = vals.field("media_ref").to_pylist()
+        geos = vals.field("offset").to_pylist()
+        out_spans, out_md = [], []
+        for i in range(len(batch)):
+            lo, hi = offs[i], offs[i + 1]  # absolute into the child arrays
+            recs, md = core.extract_document(
+                list(zip(kinds[lo:hi], texts[lo:hi], refs[lo:hi], geos[lo:hi]))
+            )
             out_spans.append([
                 {"kind": k, "text": t, "media_ref": m, "offset": o}
                 for k, t, m, o in recs
             ])
             out_md.append(md)
-        yield pd.DataFrame({"doc_id": out_docs, "spans": out_spans, "markdown": out_md})
+        yield pa.RecordBatch.from_arrays(
+            [doc_ids.combine_chunks() if isinstance(doc_ids, pa.ChunkedArray) else doc_ids,
+             pa.array(out_spans, pa.list_(out_span_t)),
+             pa.array(out_md, pa.string())],
+            names=["doc_id", "spans", "markdown"],
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -177,11 +202,16 @@ def extract_documents(
     from .packaging import ensure_on_executors
 
     ensure_on_executors(docs.sparkSession)
-    n = F.size("spans")
+    # Route on a stored stats column when available: `n_spans` is written at
+    # ingest, so the oversized-branch predicate is pushed into the scan and
+    # min/max row-group pruning makes the second pass near-free (at 10^12 docs
+    # the salted long tail is <0.1% of files). Fallback: compute size(spans).
+    n = F.col("n_spans") if "n_spans" in docs.columns else F.size("spans")
+    docs = docs.select("doc_id", "spans")
     small = docs.where(n <= salt_threshold)
     big = docs.where(n > salt_threshold)
 
-    small_out = small.mapInPandas(_extract_batch, OUTPUT_SCHEMA)
+    small_out = small.mapInArrow(_extract_arrow, OUTPUT_SCHEMA)
 
     exploded = (
         big.select("doc_id", F.posexplode("spans").alias("idx", "s"))

@@ -1,0 +1,103 @@
+"""Per-partition checkpoint/lineage with resume-without-recompute.
+
+North-rule requirement (SURVEY.md §4 Q7): the reference checkpoints every
+5000 steps and resumes from the last checkpoint
+(/root/reference/train/train_main.py:177-186,247); batch Spark has task-level
+retry but no built-in *job-level* resume. This module provides it:
+
+* the corpus is split into ``n_buckets`` deterministic doc_id hash buckets
+  (same bucketing the Iceberg table would declare: ``bucket(doc_id, N)``);
+* each bucket is extracted and written as its own output partition, then a
+  lineage record ``(bucket, doc_count, span_count, wall_ms, status)`` is
+  appended;
+* on (re)start, completed buckets are removed via a **left_anti join**
+  against the lineage table — a killed run resumes exactly where it stopped,
+  never recomputing a completed partition.
+
+At cluster scale each bucket is a few thousand input files / many tasks, so
+the driver-side bucket loop adds negligible orchestration overhead relative
+to bucket runtime; buckets could also be submitted concurrently from threads
+(Spark scheduler pools) without changing the lineage protocol.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+LINEAGE_SCHEMA = T.StructType([
+    T.StructField("bucket", T.IntegerType()),
+    T.StructField("doc_count", T.LongType()),
+    T.StructField("span_count", T.LongType()),
+    T.StructField("wall_ms", T.LongType()),
+    T.StructField("status", T.StringType()),
+])
+
+
+def lineage_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_lineage")
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    p = lineage_path(out_dir)
+    try:
+        return spark.read.schema(LINEAGE_SCHEMA).parquet(p)
+    except Exception:
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+
+
+def with_bucket(docs: DataFrame, n_buckets: int) -> DataFrame:
+    return docs.withColumn("bucket", F.pmod(F.hash("doc_id"), F.lit(n_buckets)).cast("int"))
+
+
+def run_with_lineage(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    n_buckets: int = 16,
+    fail_after: int | None = None,
+) -> list[int]:
+    """Extract ``docs`` bucket-by-bucket with lineage; returns the list of
+    buckets computed in THIS invocation (completed ones are skipped via
+    anti-join). ``fail_after`` aborts after k buckets — the kill/resume test
+    hook (SURVEY.md §5 property test 3)."""
+    from ..pipeline import extract_documents
+
+    os.makedirs(out_dir, exist_ok=True)
+    bucketed = with_bucket(docs, n_buckets)
+
+    done = read_lineage(spark, out_dir).where(F.col("status") == "done") \
+        .select("bucket").distinct()
+    remaining = (
+        bucketed.select("bucket").distinct()
+        .join(done, "bucket", "left_anti")          # resume: skip completed
+        .orderBy("bucket")
+    )
+    todo = [r["bucket"] for r in remaining.collect()]
+
+    computed = []
+    for i, b in enumerate(todo):
+        if fail_after is not None and i >= fail_after:
+            raise RuntimeError(f"injected failure after {fail_after} buckets")
+        t0 = time.time()
+        part = bucketed.where(F.col("bucket") == b).drop("bucket")
+        out = extract_documents(part)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"bucket={b}"))
+        stats = (
+            spark.read.parquet(os.path.join(out_dir, f"bucket={b}"))
+            .agg(F.count("*").alias("d"), F.sum(F.size("spans")).alias("s"))
+            .collect()[0]
+        )
+        rec = [(b, stats["d"], stats["s"] or 0, int((time.time() - t0) * 1000), "done")]
+        spark.createDataFrame(rec, LINEAGE_SCHEMA).write.mode("append") \
+            .parquet(lineage_path(out_dir))
+        computed.append(b)
+    return computed
+
+
+def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    parts = [os.path.join(out_dir, d) for d in os.listdir(out_dir)
+             if d.startswith("bucket=")]
+    return spark.read.parquet(*parts)

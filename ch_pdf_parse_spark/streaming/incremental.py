@@ -1,0 +1,61 @@
+"""Structured Streaming incremental ingest (optional demo).
+
+The reference is strictly request/response batch (SURVEY.md §2.11) — this
+module is the *incremental arrival* story for the same job: new document
+files land in the corpus directory, a `readStream` + ``foreachBatch`` run
+extracts only the unseen ones (checkpoint = exactly-once), appending to the
+same output table the batch job writes. Also a watermarked windowed
+aggregation over the events table as the standard late-data pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..pipeline import extract_documents
+
+
+def incremental_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+) -> None:
+    """Process newly-arrived document files exactly once (availableNow
+    trigger: drain whatever is new, then stop — the cron-style incremental
+    batch). State lives in the checkpoint; a rerun with no new files is a
+    no-op."""
+    if schema is None:
+        schema = spark.read.parquet(input_dir).schema
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        extract_documents(batch_df).write.mode("append").parquet(output_dir)
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def windowed_event_stats(events_stream: DataFrame,
+                         watermark: str = "10 minutes",
+                         window: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregation (late data dropped after the
+    watermark) — the standard streaming agg shape for the events table."""
+    return (
+        events_stream
+        # parquet timestamps load as TIMESTAMP_NTZ; event time must be TIMESTAMP
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )

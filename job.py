@@ -1,0 +1,61 @@
+"""spark-submit entry point (north_rule packaging).
+
+    python tools/make_submit_zip.py           # builds ch_pdf_parse_spark.zip
+    spark-submit --py-files /tmp/ch_pdf_parse_spark.zip job.py \
+        --input <documents parquet/iceberg ref> \
+        --output <output dir> [--buckets 64] [--cores N]
+
+Runs the flagship extraction with per-partition lineage; re-running after a
+kill resumes without recomputing completed buckets (sources/lineage.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--no-lineage", action="store_true",
+                    help="single-pass write, no checkpoint/resume")
+    args = ap.parse_args()
+
+    try:
+        from ch_pdf_parse_spark.session import get_spark
+    except ImportError:  # running from the repo without --py-files
+        import os
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from ch_pdf_parse_spark.session import get_spark
+
+    from ch_pdf_parse_spark.pipeline import extract_documents
+    from ch_pdf_parse_spark.sources.catalog import read_table, write_table
+    from ch_pdf_parse_spark.sources.lineage import run_with_lineage
+
+    spark = get_spark("ch-pdf-parse-extract", cores=args.cores)
+    t0 = time.time()
+    docs = read_table(spark, args.input)
+    if args.no_lineage:
+        write_table(extract_documents(docs), args.output)
+        computed = ["all"]
+    else:
+        computed = run_with_lineage(spark, docs, args.output, n_buckets=args.buckets)
+    n_docs = docs.count()
+    wall = time.time() - t0
+    print(json.dumps({
+        "input": args.input, "output": args.output,
+        "buckets_computed": len(computed), "docs": n_docs,
+        "wall_sec": round(wall, 2), "docs_per_sec": round(n_docs / wall, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

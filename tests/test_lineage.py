@@ -1,0 +1,43 @@
+"""Kill/resume property test: a killed run resumes without recomputing
+completed partitions and produces the identical output table (SURVEY.md §5)."""
+
+import os
+
+import pytest
+
+from ch_pdf_parse_spark.sources import lineage as L
+from tests.test_pipeline import _collect
+from ch_pdf_parse_spark.pipeline import extract_documents
+
+
+def test_resume_without_recompute(spark, docs_df, tmp_path):
+    out = str(tmp_path / "out")
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        L.run_with_lineage(spark, docs_df, out, n_buckets=6, fail_after=3)
+
+    done1 = {r["bucket"] for r in L.read_lineage(spark, out).collect()}
+    assert len(done1) == 3
+    mtimes = {b: os.path.getmtime(os.path.join(out, f"bucket={b}", "_SUCCESS"))
+              for b in done1}
+
+    computed = L.run_with_lineage(spark, docs_df, out, n_buckets=6)
+    assert set(computed).isdisjoint(done1), "resume recomputed a completed bucket"
+
+    for b in done1:  # completed partitions untouched on disk
+        assert os.path.getmtime(os.path.join(out, f"bucket={b}", "_SUCCESS")) == mtimes[b]
+
+    got = _collect(L.read_output(spark, out))
+    want = _collect(extract_documents(docs_df))
+    assert got == want
+
+    lin = L.read_lineage(spark, out)
+    rows = lin.collect()
+    assert all(r["status"] == "done" for r in rows)
+    assert sum(r["doc_count"] for r in rows) == docs_df.count()
+
+
+def test_rerun_is_noop(spark, docs_df, tmp_path):
+    out = str(tmp_path / "out2")
+    L.run_with_lineage(spark, docs_df, out, n_buckets=4)
+    assert L.run_with_lineage(spark, docs_df, out, n_buckets=4) == []
