@@ -9,10 +9,11 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 * q_sim_topk           — brute-force cosine top-k over embeddings
 * q_agg_pricing        — TPC-H Q1-shape aggregation over lineitem
 
-``--scaling`` additionally runs the flagship at two parallelism levels
-(local[8] vs local[32]) on the SAME input and reports throughput at both plus
-scaling efficiency — the in-sandbox evidence for BASELINE.json's N→4N ≥ 0.8
-criterion (no real cluster available; see BENCH/BASELINE.md).
+Every run also measures the N→4N scaling pair (local[2] vs local[8], same
+input) and reports throughput at both plus scaling efficiency — the
+in-sandbox evidence for BASELINE.json's N→4N ≥ 0.8 criterion (no real
+cluster available; see BENCH/BASELINE.md). ``--scaling`` adds larger/full-box
+pairs (2→8 on the full corpus, 8→32 at 100k docs).
 """
 
 from __future__ import annotations
@@ -90,8 +91,9 @@ def run_extraction(cores: int, corpus_path: str, relational: bool = False,
         # balanced (coalesce = no shuffle)
         docs = docs.coalesce(cores * 3)
         fn = extract_documents_relational if relational else extract_documents
-        # warmup (JIT, Arrow python-worker spin-up, page cache), then best-of-N
-        _run(fn(docs.limit(64)))
+        # warmup (JIT, Arrow python-worker spin-up, page cache), then best-of-N;
+        # 2k docs so whole-stage codegen + arrow paths are actually hot
+        _run(fn(docs.limit(64 if relational else 2048)))
         return min(_run(fn(docs)) for _ in range(runs))
     finally:
         spark.stop()
@@ -131,27 +133,34 @@ def main() -> None:
     finally:
         spark.stop()
 
+    # N→4N scaling evidence: same job, same input, two parallelism levels
+    # (no real cluster in-sandbox; BASELINE.json criterion ≥0.8).
+    # Default run measures the 2→8-core pair on a small corpus — the
+    # uncontended region of the box, which models a real cluster's N→4N
+    # (each local-mode "core" = JVM task thread + Arrow python worker, so
+    # local[8] already occupies ~16 hardware threads). ``--scaling`` adds
+    # the full-box 8→32 pair on ≥100k docs (slower; saturates the VM and
+    # under-reads — interpretation in BENCH/BASELINE.md).
+    # Best-of-N per config to ride out noisy-neighbor steal spikes. The pair
+    # runs on the full bench corpus: a run must be ≳20s at the high level or
+    # fixed per-job costs (JVM+scan setup ~1.5s) dilute measured efficiency.
+    pairs = [(2, 8, corpus_path, n_docs, 3)]
     if scaling:
-        # N→4N evidence: same job, same input, two parallelism levels.
-        # Two pairs are reported: 2→8 cores (uncontended region of the box)
-        # and 8→32 (the full box, where hypervisor steal + the shared-JVM
-        # feed side distort local-mode numbers — see BENCH/BASELINE.md).
-        # Best-of-3 per config to ride out noisy-neighbor steal spikes.
         sc_path, sc_docs = bench_corpus_dir(sf, n_docs=max(n_docs, 100_000))
-        extras["scaling"] = {}
-        for lo, hi, path, nd in [(2, 8, corpus_path, n_docs),
-                                 (8, 32, sc_path, sc_docs)]:
-            if hi > CPUS:
-                continue
-            t_hi = run_extraction(hi, path, runs=3)
-            t_lo = run_extraction(lo, path, runs=3)
-            thr_lo, thr_hi = nd / t_lo, nd / t_hi
-            extras["scaling"][f"local[{lo}]->local[{hi}]"] = {
-                "n_docs": nd,
-                f"docs_per_sec_local[{lo}]": round(thr_lo, 1),
-                f"docs_per_sec_local[{hi}]": round(thr_hi, 1),
-                "efficiency": round((thr_hi / thr_lo) / (hi / lo), 3),
-            }
+        pairs += [(8, 32, sc_path, sc_docs, 3)]
+    extras["scaling"] = {}
+    for lo, hi, path, nd, runs in pairs:
+        if hi > CPUS:
+            continue
+        t_hi = run_extraction(hi, path, runs=runs)
+        t_lo = run_extraction(lo, path, runs=runs)
+        thr_lo, thr_hi = nd / t_lo, nd / t_hi
+        extras["scaling"][f"local[{lo}]->local[{hi}]@{nd}"] = {
+            "n_docs": nd,
+            f"docs_per_sec_local[{lo}]": round(thr_lo, 1),
+            f"docs_per_sec_local[{hi}]": round(thr_hi, 1),
+            "efficiency": round((thr_hi / thr_lo) / (hi / lo), 3),
+        }
 
     out = {
         "metric": "extract_e2e_wall_sec",

@@ -328,4 +328,10 @@ def oracle_sql() -> dict[str, str]:
 def _load_operator_modules() -> None:
     """Import operator modules for their @register side effects (deferred to
     avoid import cycles)."""
-    from .operators import dedup, relational_ops, similarity, text_analysis  # noqa: F401
+    from .operators import (  # noqa: F401
+        dedup,
+        multimodal,
+        relational_ops,
+        similarity,
+        text_analysis,
+    )
