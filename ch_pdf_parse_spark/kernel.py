@@ -1,0 +1,322 @@
+"""Optimized per-batch extraction kernel for the flagship mapInArrow path.
+
+Same semantics as ``core.extract_document`` (the readable golden oracle —
+see core.py for the reference file:line citations), re-implemented for
+throughput over Arrow batches:
+
+* offset decode is vectorized with numpy over the whole batch,
+* no per-span object construction (parallel lists + index lists),
+* sorts use C-level ``list.__getitem__`` keys / precomputed int composite
+  keys instead of per-element lambda tuples.
+
+``tests/test_kernel.py`` differentially tests this module against
+``core.extract_document`` on the full fixture corpus (including oversized
+docs, shuffled span order, and pathological inputs) — the two
+implementations must agree bit-for-bit on (records, markdown).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import constants as C
+
+_GAP_X = C.XY_MIN_GAP_X
+_GAP_Y = C.XY_MIN_GAP_Y
+_EQ = C.EQUATION_TEXT
+_UNLABELED = C.UNLABELED
+_IRRELEVANT = C.IRRELEVANT
+_HEADER_Y = C.HEADER_Y_MAX
+_TITLE_Y = C.TITLE_Y_MAX
+_NL_DY = C.NEWLINE_DY
+_NL_DX = C.NEWLINE_DX
+_CHAR_W = C.CHAR_W
+_LINE_H = C.LINE_H
+_SEP_TITLE = C.SEP_TITLE
+_SEP_PARA = C.SEP_PARA
+_SEP_MEDIA = C.SEP_MEDIA
+_PAGE_SEP = C.PAGE_SEP
+_UNMATCHED = C.UNMATCHED_CAPTION
+
+# composite leaf-sort key multipliers: y1 < 1000, x1 < 10000 (constants.py
+# offset packing), local index < multiplier guard below
+_KX = 16_384          # > max x1 of any derived box left edge
+_KY = _KX * 1024      # y1 slot
+
+
+def _classify(text: str, page: int, y1: int) -> str:
+    # mirror of core.classify_kind (kept inline-cheap; first-char dispatch)
+    if text == _EQ:
+        return "equation"
+    c0 = text[:1]
+    if c0 == "图" and text[1:2].isdigit():
+        return "figure_caption"
+    if c0 == "表" and text[1:2].isdigit():
+        return "table_caption"
+    if c0 == "[":
+        i = 1
+        n = len(text)
+        while i < n and text[i].isdigit():
+            i += 1
+        if i > 1 and i < n and text[i] == "]":
+            return "reference"
+    if text.startswith("摘要"):
+        return "abstract"
+    if text.startswith("关键词"):
+        return "keyword"
+    if y1 < _HEADER_Y:
+        return "header"
+    if page == 0 and y1 < _TITLE_Y:
+        return "title"
+    return "text"
+
+
+def _groups_1d(idxs: list, lo: list, hi: list, min_gap: int) -> list:
+    # identical algorithm to core._groups_1d
+    groups = []
+    it = iter(idxs)
+    first = next(it)
+    cur = [first]
+    cur_hi = hi[first]
+    append = cur.append
+    for i in it:
+        if lo[i] - cur_hi >= min_gap:
+            groups.append(cur)
+            cur = [i]
+            append = cur.append
+            cur_hi = hi[i]
+        else:
+            append(i)
+            h = hi[i]
+            if h > cur_hi:
+                cur_hi = h
+    groups.append(cur)
+    return groups
+
+
+def _xy_cut(x1s: list, y1s: list, x2s: list, y2s: list) -> list:
+    """core.xy_cut over parallel lists; returns [(local_idx, region_x0), ...].
+
+    Identical recursion/tie-break semantics; sorts use C-level getitem keys
+    and a precomputed (y1, x1, idx) integer composite for leaf ordering.
+    """
+    n = len(x1s)
+    order = []
+    if not n:
+        return order
+    xkey = x1s.__getitem__
+    ykey = y1s.__getitem__
+    leafkey = [y1s[i] * _KY + x1s[i] * _KX + i for i in range(n)].__getitem__
+    out = order.append
+
+    def leaf(idxs, x0):
+        idxs.sort(key=leafkey)
+        order.extend((i, x0) for i in idxs)
+
+    def xgroups(idxs):
+        xo = sorted(idxs, key=xkey)
+        groups = _groups_1d(xo, x1s, x2s, _GAP_X)
+        return groups if len(groups) > 1 else None
+
+    def band_standalone(band, x0):
+        if len(band) == 1:
+            out((band[0], x0))
+            return
+        bg = xgroups(band)
+        if bg:
+            for grp in bg:
+                recurse(grp, min(x1s[i] for i in grp))
+        else:
+            leaf(band, x0)
+
+    def recurse(idxs, region_x0):
+        if len(idxs) == 1:
+            out((idxs[0], region_x0))
+            return
+        g = xgroups(idxs)
+        if g:
+            for grp in g:
+                recurse(grp, min(x1s[i] for i in grp))
+            return
+        yo = sorted(idxs, key=ykey)
+        bands = _groups_1d(yo, y1s, y2s, _GAP_Y)
+        if len(bands) == 1:
+            leaf(bands[0], region_x0)
+            return
+        xo = sorted(idxs, key=xkey)
+        band_of = {}
+        for bi, band in enumerate(bands):
+            for i in band:
+                band_of[i] = bi
+        for bi in range(len(bands) - 1):
+            band_standalone(bands[bi], region_x0)
+            lo = bi + 1
+            cur_hi = None
+            has_gap = False
+            for i in xo:
+                if band_of[i] < lo:
+                    continue
+                if cur_hi is not None and x1s[i] - cur_hi >= _GAP_X:
+                    has_gap = True
+                    break
+                x2 = x2s[i]
+                if cur_hi is None or x2 > cur_hi:
+                    cur_hi = x2
+            if has_gap:
+                recurse([i for i in xo if band_of[i] >= lo], region_x0)
+                return
+        band_standalone(bands[-1], region_x0)
+
+    recurse(list(range(n)), min(x1s))
+    return order
+
+
+def extract_document(
+    kinds: list, texts: list, refs: list, pages, y1s, x1s, lo: int, hi: int
+):
+    """One document over flat batch arrays [lo, hi); mirrors
+    core.extract_document + extract_page + finish_document exactly.
+
+    Returns (records [(kind, text, media_ref)], markdown string).
+    """
+    # group span indices by page, input order preserved (dict is insertion-
+    # ordered; pages iterate ascending)
+    by_page = {}
+    for i in range(lo, hi):
+        p = pages[i]
+        b = by_page.get(p)
+        if b is None:
+            by_page[p] = [i]
+        else:
+            b.append(i)
+
+    records = []
+    markdown = []
+    table_caps = []
+    figure_caps = []
+    prev_y1 = None
+    prev_page = None
+    prev_kind = None
+    md_append = markdown.append
+
+    for page in sorted(by_page):
+        idxs = by_page[page]
+        # classification (M1) + equation pseudo-text
+        t_kind = []
+        t_text = []
+        t_ref = []
+        t_y1 = []
+        t_x1 = []
+        media_idx = []
+        for i in idxs:
+            kind = kinds[i] or ""
+            if kind == "figure" or kind == "table":
+                media_idx.append(i)
+                continue
+            text = texts[i] or ""
+            y1 = y1s[i]
+            if kind == "equation":
+                text = _EQ
+            elif kind == _UNLABELED:
+                kind = _classify(text, page, y1)
+                if kind == "equation":
+                    text = _EQ
+            if kind == _IRRELEVANT:
+                continue
+            t_kind.append(kind)
+            t_text.append(text)
+            t_ref.append(refs[i] or "")
+            t_y1.append(y1)
+            t_x1.append(x1s[i])
+
+        # reading order (M3 surrogate): derive boxes inline (core.derive_box)
+        bx2 = []
+        by2 = []
+        for k in range(len(t_kind)):
+            x1 = t_x1[k]
+            y1 = t_y1[k]
+            # text spans only reach here (media filtered above)
+            ln = len(t_text[k])
+            bx2.append(x1 + _CHAR_W * (ln if ln > 0 else 1))
+            by2.append(y1 + _LINE_H)
+        ordered = _xy_cut(t_x1, t_y1, bx2, by2)
+
+        tab_groups = []
+        fig_groups = []
+
+        for k, region_x0 in ordered:
+            y1 = t_y1[k]
+            x1 = t_x1[k]
+            # is_new_line (M2 surrogate), inlined
+            if prev_y1 is None:
+                new_line = True
+            else:
+                dy = y1 - prev_y1 if page == prev_page else -1
+                new_line = dy > _NL_DY or (dy <= 0 and (x1 - region_x0) > _NL_DX)
+            kind = t_kind[k]
+            if not new_line and prev_kind is not None:
+                kind = prev_kind
+            prev_y1 = y1
+            prev_page = page
+            prev_kind = kind
+
+            text = t_text[k]
+            if kind == "equation":
+                md_append(f"![]({text}){_SEP_MEDIA}")
+                continue
+            if kind == "table_caption":
+                if new_line or not tab_groups:
+                    tab_groups.append([text])
+                else:
+                    tab_groups[-1].append(text)
+                continue
+            if kind == "figure_caption":
+                if new_line or not fig_groups:
+                    fig_groups.append([text])
+                else:
+                    fig_groups[-1].append(text)
+                continue
+            if new_line:
+                records.append((kind, text, ""))
+                md_append((_SEP_TITLE if kind == "title" else _SEP_PARA) + text)
+            else:
+                md_append(text)
+                if records:
+                    k0, t0, m0 = records[-1]
+                    records[-1] = (k0, t0 + text, m0)
+                else:
+                    records.append((kind, text, ""))
+
+        # caption <-> media positional match (greedy by caption index);
+        # page markdown emits all tables (caption-first) then all figures
+        # (image-first), each in input order — core.extract_page:362-369
+        md_append(_PAGE_SEP)
+        ti = fi = 0
+        for i in media_idx:
+            if kinds[i] == "table":
+                ref = refs[i] or ""
+                cap = "".join(tab_groups[ti]) if ti < len(tab_groups) else _UNMATCHED
+                ti += 1
+                table_caps.append((cap, ref))
+                md_append(f"{cap}{_SEP_MEDIA}![]({ref}){_SEP_MEDIA}")
+        for i in media_idx:
+            if kinds[i] != "table":
+                ref = refs[i] or ""
+                cap = "".join(fig_groups[fi]) if fi < len(fig_groups) else _UNMATCHED
+                fi += 1
+                figure_caps.append((cap, ref))
+                md_append(f"![]({ref}){_SEP_MEDIA}{cap}{_SEP_MEDIA}")
+
+    for cap, ref in table_caps:
+        records.append(("table_caption", cap, ref))
+    for cap, ref in figure_caps:
+        records.append(("figure_caption", cap, ref))
+    return records, "".join(markdown)
+
+
+def decode_offsets(offsets) -> tuple:
+    """Vectorized (page, y1, x1) decode of an int array of packed offsets."""
+    arr = np.asarray(offsets, dtype=np.int64)
+    pages, rem = np.divmod(arr, C.OFFSET_PAGE)
+    y1, x1 = np.divmod(rem, C.OFFSET_Y)
+    return pages.tolist(), y1.tolist(), x1.tolist()

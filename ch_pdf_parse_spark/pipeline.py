@@ -76,12 +76,15 @@ def _spans_to_tuples(spans) -> list[tuple[str, str, str, int]]:
 
 def _extract_arrow(it):
     """mapInArrow kernel: operate on the columnar batch directly — the nested
-    spans array is consumed as flat child arrays (no per-span dict
-    materialization, which costs more than the extraction itself)."""
+    spans array is consumed as flat child arrays (no per-span dict or object
+    materialization, which costs more than the extraction itself). The
+    per-document semantics live in ``kernel.extract_document`` (optimized
+    twin of the golden oracle ``core.extract_document`` — differentially
+    tested in tests/test_kernel.py)."""
     import pyarrow as pa
 
-    out_span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
-                            ("media_ref", pa.string()), ("offset", pa.int32())])
+    from . import kernel
+
     for batch in it:
         doc_ids = batch.column("doc_id")
         spans = batch.column("spans")
@@ -93,21 +96,33 @@ def _extract_arrow(it):
         kinds = vals.field("kind").to_pylist()
         texts = vals.field("text").to_pylist()
         refs = vals.field("media_ref").to_pylist()
-        geos = vals.field("offset").to_pylist()
-        out_spans, out_md = [], []
+        pages, y1s, x1s = kernel.decode_offsets(
+            vals.field("offset").to_numpy(zero_copy_only=False))
+        # flat output columns + list offsets (built directly; no per-span dicts)
+        ok, ot, om = [], [], []
+        loffs = [0]
+        out_md = []
         for i in range(len(batch)):
             lo, hi = offs[i], offs[i + 1]  # absolute into the child arrays
-            recs, md = core.extract_document(
-                list(zip(kinds[lo:hi], texts[lo:hi], refs[lo:hi], geos[lo:hi]))
-            )
-            out_spans.append([
-                {"kind": k, "text": t, "media_ref": m, "offset": o}
-                for k, t, m, o in recs
-            ])
+            recs, md = kernel.extract_document(
+                kinds, texts, refs, pages, y1s, x1s, lo, hi)
+            for k, t, m in recs:
+                ok.append(k)
+                ot.append(t)
+                om.append(m)
+            loffs.append(len(ok))
             out_md.append(md)
+        # output span order == position within the doc's records list
+        orders = [o for i in range(len(batch))
+                  for o in range(loffs[i + 1] - loffs[i])]
+        struct = pa.StructArray.from_arrays(
+            [pa.array(ok, pa.string()), pa.array(ot, pa.string()),
+             pa.array(om, pa.string()), pa.array(orders, pa.int32())],
+            names=["kind", "text", "media_ref", "offset"],
+        )
         yield pa.RecordBatch.from_arrays(
             [doc_ids.combine_chunks() if isinstance(doc_ids, pa.ChunkedArray) else doc_ids,
-             pa.array(out_spans, pa.list_(out_span_t)),
+             pa.ListArray.from_arrays(pa.array(loffs, pa.int32()), struct),
              pa.array(out_md, pa.string())],
             names=["doc_id", "spans", "markdown"],
         )
