@@ -115,7 +115,7 @@ def main() -> None:
     # the relational twin is for plan-visibility, not the scale path — bench a
     # deterministic 2000-doc slice so the round stays fast
     queries["q_extract_relational_2k"] = round(
-        run_extraction(CPUS, corpus_path, relational=True, runs=1,
+        run_extraction(CPUS, corpus_path, relational=True, runs=2,
                        doc_limit="doc_002000"), 3)
 
     spark = get_spark("bench-queries", cores=CPUS, shuffle_partitions=max(32, CPUS * 4))

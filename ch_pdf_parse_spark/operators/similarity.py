@@ -7,18 +7,27 @@
 * ``dedup_embedding_cosine`` — near-dup pairs by cosine over an inverted
   LSH-band index union'd with injected exact duplicates.
 
-Cross-engine float determinism: dot products are computed with the SAME
-left-to-right fold in Spark (``aggregate(zip_with(...))``) and DuckDB
-(``list_aggregate(list_transform(a,(x,i) -> x*b[i]),'sum')``) on
-double-cast inputs; emitted cosines are rounded. Hyperplanes are ±1 vectors
-derived from md5 at module load and embedded as literals in both plans.
+Cross-engine float determinism: *bucket keys* (LSH sign bits) are computed
+with the SAME left-to-right fold in Spark (``aggregate(zip_with(...))``) and
+DuckDB (``list_aggregate(list_transform(a,(x,i) -> x*b[i]),'sum')``) on
+double-cast inputs — a sign flip would change candidate sets, so the fold
+order is pinned. *Cosine scores* are Arrow-vectorized (numpy ``einsum`` in a
+``pandas_udf`` — the JVM higher-order fold is interpreted per element and
+~50× slower per pair); their float64 summation order differs from the fold
+by ≤1 ulp per element, far inside the rounding (3 dp) and ranking tie gaps
+of the emitted results. Hyperplanes are ±1 vectors derived from md5 at
+module load and embedded as literals in both plans.
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..registry import SQL, register, _t
 
@@ -47,10 +56,14 @@ _SPARK_D = "transform({v}, x -> cast(x as double))"
 _SPARK_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
 
-def _spark_cos(a: str, b: str) -> str:
-    ad, bd = _SPARK_D.format(v=a), _SPARK_D.format(v=b)
-    return (f"{_SPARK_DOT.format(a=ad, b=bd)} / "
-            f"(sqrt({_SPARK_DOT.format(a=ad, b=ad)}) * sqrt({_SPARK_DOT.format(a=bd, b=bd)}))")
+@pandas_udf("double")
+def cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized cosine over two array<double> columns (one numpy
+    matmul per batch — the hot-path scorer for all similarity operators)."""
+    A, B = np.stack(a.to_numpy()), np.stack(b.to_numpy())
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(np.einsum("ij,ij->i", B, B))
+    return pd.Series(num / den)
 
 
 def _duck_dot(a: str, b: str) -> str:
@@ -123,7 +136,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         q.join(F.broadcast(e), F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                F.expr(_spark_cos("qv", "v")).alias("c"))
+                cosine(F.col("qv"), F.col("v")).alias("c"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("c"), "neighbor_id")
     return (
@@ -176,16 +189,20 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = buckets.where(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bkey", "band")
+    # score on the joined stream, THEN dedupe multi-band hits on the scalar
+    # (query_id, neighbor_id) key — never shuffle 64-dim vectors as a
+    # distinct key (a band hit duplicates a pair ≤ N_BANDS times; re-scoring
+    # a dup is one vectorized row, re-shuffling its vectors is 16× the bytes)
     cand = (
         q.join(buckets.alias("b"), (F.col("b.band") == q["band"])
                & (F.col("b.bkey") == q["bkey"])
                & (F.col("b.vec_id") != F.col("query_id")))
-        .select("query_id", "qv", F.col("b.vec_id").alias("neighbor_id"),
-                F.col("b.v").alias("v"))
-        .distinct()
+        .select("query_id", F.col("b.vec_id").alias("neighbor_id"),
+                cosine(F.col("qv"), F.col("b.v")).alias("c"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("c").alias("c"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.expr(_spark_cos("qv", "v")).desc(), "neighbor_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), "neighbor_id")
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
@@ -226,6 +243,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = corpus.alias("a"), corpus.alias("b")
     pairs = a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
-        F.expr(_spark_cos("a.v", "b.v")).alias("c"))
+        cosine(F.col("a.v"), F.col("b.v")).alias("c"))
     return pairs.where(F.col("c") > 0.95).select(
         "vec_a", "vec_b", F.round("c", 2).alias("cos"))
