@@ -108,10 +108,14 @@ def _xy_cut(x1s: list, y1s: list, x2s: list, y2s: list) -> list:
     ykey = y1s.__getitem__
     leafkey = [y1s[i] * _KY + x1s[i] * _KX + i for i in range(n)].__getitem__
     out = order.append
+    # band index per ORIGINAL local span index — a flat list beats a dict
+    # rebuilt per recursion (indices are disjoint across sibling subsets,
+    # so overwriting is safe)
+    band_of = [0] * n
 
     def leaf(idxs, x0):
         idxs.sort(key=leafkey)
-        order.extend((i, x0) for i in idxs)
+        order.extend([(i, x0) for i in idxs])
 
     def xgroups(idxs):
         xo = sorted(idxs, key=xkey)
@@ -144,26 +148,26 @@ def _xy_cut(x1s: list, y1s: list, x2s: list, y2s: list) -> list:
             leaf(bands[0], region_x0)
             return
         xo = sorted(idxs, key=xkey)
-        band_of = {}
         for bi, band in enumerate(bands):
             for i in band:
                 band_of[i] = bi
-        for bi in range(len(bands) - 1):
+        x1l, x2l, bol = x1s, x2s, band_of  # locals beat closure lookups in
+        for bi in range(len(bands) - 1):   # the O(bands*n) suffix scan below
             band_standalone(bands[bi], region_x0)
             lo = bi + 1
             cur_hi = None
             has_gap = False
             for i in xo:
-                if band_of[i] < lo:
+                if bol[i] < lo:
                     continue
-                if cur_hi is not None and x1s[i] - cur_hi >= _GAP_X:
+                if cur_hi is not None and x1l[i] - cur_hi >= _GAP_X:
                     has_gap = True
                     break
-                x2 = x2s[i]
+                x2 = x2l[i]
                 if cur_hi is None or x2 > cur_hi:
                     cur_hi = x2
             if has_gap:
-                recurse([i for i in xo if band_of[i] >= lo], region_x0)
+                recurse([i for i in xo if bol[i] >= lo], region_x0)
                 return
         band_standalone(bands[-1], region_x0)
 

@@ -1,0 +1,52 @@
+"""Physical-plan regression tests (the scale contract, pinned).
+
+These assert the *plan shape* the 100TB design depends on — see
+tools/plan_audit.py, which writes the full evidence to BENCH/PLANS.md:
+
+* the flagship small-doc branch is zero-shuffle (scan → filter → MapInArrow);
+* predicates and column pruning reach the parquet scan;
+* the page-index equi-join broadcasts its small side.
+
+A regression here (someone inserts a repartition, breaks pushdown by
+wrapping a column in a UDF, …) is a scale bug even when all value-equality
+tests stay green — which is exactly why it gets its own tests.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from ch_pdf_parse_spark import constants as C
+from ch_pdf_parse_spark.pipeline import OUTPUT_SCHEMA, _extract_arrow
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def test_flagship_small_branch_has_no_shuffle(docs_df):
+    small = docs_df.select("doc_id", "spans").where(
+        F.size("spans") <= C.SALT_SPAN_THRESHOLD)
+    plan = _formatted(small.mapInArrow(_extract_arrow, OUTPUT_SCHEMA))
+    assert "MapInArrow" in plan
+    assert not re.search(r"\bExchange\b", plan), plan
+
+
+def test_filter_and_pruning_reach_scan(docs_df):
+    q = docs_df.select("doc_id").where(F.col("doc_id") > "doc_000005")
+    plan = _formatted(q)
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "GreaterThan" in pushed.group(1), plan
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert rs and rs.group(1) == "doc_id:string", plan  # spans column pruned
+
+
+def test_small_dim_join_broadcasts(spark, docs_df):
+    dim = spark.createDataFrame(
+        [(f"doc_{i:06d}", i % 3) for i in range(10)], ["doc_id", "bucket"])
+    plan = _formatted(docs_df.join(F.broadcast(dim), "doc_id"))
+    assert "BroadcastHashJoin" in plan, plan
+    # the big (documents) side must not shuffle for a broadcast join
+    assert not re.search(r"Exchange hashpartitioning\(doc_id", plan), plan

@@ -1,0 +1,147 @@
+"""Physical-plan audit: dump `explain("formatted")` for the headline queries
+and check the plan properties the engine is designed around, writing
+BENCH/PLANS.md as reviewable evidence.
+
+Checked properties (each also pinned by tests/test_plans.py):
+
+* flagship small-doc path: **zero Exchange** — scan → filter → MapInArrow,
+  nothing else (the 100TB scale argument rests on this);
+* `p_filter_project`: predicate reaches the parquet scan (`PushedFilters`)
+  and the scan reads only referenced columns (`ReadSchema`);
+* `j_equijoin_broadcast`: small side broadcast (`BroadcastHashJoin`), no
+  shuffle of the big side;
+* `agg_pricing_summary`: map-side partial aggregation before the exchange
+  (two HashAggregate levels);
+* `dedup_minhash_lsh`: shuffles only at the band-bucket self-join + final
+  distinct (LSH's point: candidates, not all pairs).
+
+Usage: python tools/plan_audit.py [sf_dir] (default /root/testdata/sf0.01)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "BENCH", "PLANS.md")
+
+
+def formatted_plan(df) -> str:
+    mode = df._jdf.sparkSession().sessionState().conf()  # noqa: F841 (touch)
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def small_path_df(spark, sf_dir: str):
+    """The flagship zero-shuffle branch, exactly as pipeline.extract_documents
+    builds it for regular-size docs (reconstructed here so the audit can
+    assert on THIS branch alone; the full plan unions the salted long-tail
+    branch, which legitimately shuffles)."""
+    from pyspark.sql import functions as F
+
+    from ch_pdf_parse_spark import constants as C
+    from ch_pdf_parse_spark.pipeline import OUTPUT_SCHEMA, _extract_arrow
+    from ch_pdf_parse_spark.registry import fixture_docs
+
+    docs = fixture_docs(spark, sf_dir).select("doc_id", "spans")
+    small = docs.where(F.size("spans") <= C.SALT_SPAN_THRESHOLD)
+    return small.mapInArrow(_extract_arrow, OUTPUT_SCHEMA)
+
+
+def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[str, str]]:
+    """Returns ([(query, property, ok, detail)], {query: plan_text})."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    checks: list[tuple[str, str, bool, str]] = []
+    plans: dict[str, str] = {}
+
+    def add(name, prop, ok, detail=""):
+        checks.append((name, prop, bool(ok), detail))
+
+    # --- flagship zero-shuffle branch -----------------------------------
+    p = formatted_plan(small_path_df(spark, sf_dir))
+    plans["extract_spans (small-doc branch)"] = p
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    add("extract_spans/small", "zero Exchange (no shuffle)", n_ex == 0,
+        f"{n_ex} exchanges")
+    add("extract_spans/small", "MapInArrow present", "MapInArrow" in p)
+
+    # --- scan pushdown + pruning ----------------------------------------
+    p = formatted_plan(q["p_filter_project"](spark, sf_dir))
+    plans["p_filter_project"] = p
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    add("p_filter_project", "filters pushed to scan",
+        bool(pushed and pushed.group(1).strip()),
+        pushed.group(1)[:100] if pushed else "none")
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    ncols = len(rs.group(1).split(",")) if rs else -1
+    add("p_filter_project", "column pruning (scan reads only referenced cols)",
+        0 < ncols <= 6, f"ReadSchema has {ncols} of lineitem's 16 columns")
+
+    # --- broadcast join ---------------------------------------------------
+    p = formatted_plan(q["j_equijoin_broadcast"](spark, sf_dir))
+    plans["j_equijoin_broadcast"] = p
+    add("j_equijoin_broadcast", "BroadcastHashJoin", "BroadcastHashJoin" in p)
+
+    # --- partial aggregation ---------------------------------------------
+    p = formatted_plan(q["agg_pricing_summary"](spark, sf_dir))
+    plans["agg_pricing_summary"] = p
+    n_agg = len(re.findall(r"HashAggregate", p))
+    add("agg_pricing_summary", "map-side partial agg (2 HashAggregate levels)",
+        n_agg >= 2, f"{n_agg} HashAggregate nodes")
+    add("agg_pricing_summary", "map-side combine (partial_sum before exchange)",
+        "partial_sum" in p)
+
+    # --- LSH: bounded shuffle count --------------------------------------
+    p = formatted_plan(q["dedup_minhash_lsh"](spark, sf_dir))
+    plans["dedup_minhash_lsh"] = p
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    # signature agg + two join sides + distinct ≈ 4-6 exchanges; all-pairs
+    # would appear as a nested-loop join instead
+    add("dedup_minhash_lsh", "candidate join is hash-based (no all-pairs NLJ)",
+        "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p)
+    add("dedup_minhash_lsh", "bounded exchanges", n_ex <= 8, f"{n_ex} exchanges")
+
+    return checks, plans
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from ch_pdf_parse_spark.session import get_spark
+
+    spark = get_spark("plan-audit", cores=4, shuffle_partitions=8)
+    checks, plans = audit(spark, sf_dir)
+
+    lines = [
+        "# Physical-plan audit (`tools/plan_audit.py`)",
+        "",
+        f"Spark {spark.version}, sf_dir `{sf_dir}`. Properties below are also",
+        "pinned as regression tests in `tests/test_plans.py`.",
+        "",
+        "| query | property | ok | detail |",
+        "|---|---|---|---|",
+    ]
+    for name, prop, ok, detail in checks:
+        lines.append(f"| {name} | {prop} | {'✅' if ok else '❌'} | {detail} |")
+    lines.append("")
+    for name, plan in plans.items():
+        body = "\n".join(plan.splitlines()[:70])
+        lines += [f"## {name}", "", "```", body, "```", ""]
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        f.write("\n".join(lines))
+    bad = [c for c in checks if not c[2]]
+    print(f"wrote {OUT}: {len(checks) - len(bad)}/{len(checks)} properties hold")
+    for name, prop, _, detail in bad:
+        print(f"FAIL {name}: {prop} ({detail})")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
