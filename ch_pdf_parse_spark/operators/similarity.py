@@ -28,6 +28,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 from ..registry import SQL, register, _t
 
@@ -56,7 +57,10 @@ _SPARK_D = "transform({v}, x -> cast(x as double))"
 _SPARK_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
 
-@pandas_udf("double")
+# DataType object (not a DDL string): a string return type is parsed via the
+# active SparkSession at decoration time, which would make `import` — and thus
+# __spark_entry__.queries() — require a live session before any query runs.
+@pandas_udf(DoubleType())
 def cosine(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-vectorized cosine over two array<double> columns (one numpy
     matmul per batch — the hot-path scorer for all similarity operators)."""
