@@ -73,6 +73,20 @@ def _run(df) -> float:
     return time.time() - t0
 
 
+def _best_stable(run_once, runs_min: int = 2, runs_max: int = 5,
+                 tol: float = 0.15) -> float:
+    """Best-of-N with adaptive N: the VM has noisy-neighbor steal spikes that
+    inflate individual runs up to ~5x, so keep re-running until the two
+    fastest runs agree within ``tol`` (evidence the best run is the machine's
+    real speed, not one lucky/unlucky sample), capped at ``runs_max``."""
+    times = sorted(run_once() for _ in range(runs_min))
+    while len(times) < runs_max and (
+            len(times) < 2 or times[1] > times[0] * (1 + tol)):
+        times.append(run_once())
+        times.sort()
+    return times[0]
+
+
 def run_extraction(cores: int, corpus_path: str, relational: bool = False,
                    shuffle_partitions: int | None = None, runs: int = 2,
                    doc_limit: str | None = None) -> float:
@@ -94,7 +108,7 @@ def run_extraction(cores: int, corpus_path: str, relational: bool = False,
         # warmup (JIT, Arrow python-worker spin-up, page cache), then best-of-N;
         # 2k docs so whole-stage codegen + arrow paths are actually hot
         _run(fn(docs.limit(64 if relational else 2048)))
-        return min(_run(fn(docs)) for _ in range(runs))
+        return _best_stable(lambda: _run(fn(docs)), runs_min=runs)
     finally:
         spark.stop()
 
@@ -127,9 +141,9 @@ def main() -> None:
         for name, fn in [("q_dedup_minhash", dedup_minhash_lsh),
                          ("q_sim_topk", sim_topk_bruteforce),
                          ("q_agg_pricing", agg_pricing_summary)]:
-            t0 = time.time()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            queries[name] = round(time.time() - t0, 3)
+            queries[name] = round(
+                _best_stable(lambda: _run(fn(spark, SF_DIR)), runs_min=1,
+                             runs_max=3), 3)
     finally:
         spark.stop()
 
