@@ -52,17 +52,30 @@ _ORDERED_SCHEMA = T.StructType([
 ])
 
 
-def _xy_cut_page(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: per-(doc,page) XY-cut → (rank, region_x0)."""
-    boxes = [
-        core.derive_box(k, t, int(x), int(y))
-        for k, t, x, y in zip(pdf["kind"], pdf["text"], pdf["x1"], pdf["y1"])
-    ]
-    rank = [0] * len(boxes)
-    x0s = [0] * len(boxes)
-    for r, (i, x0) in enumerate(core.xy_cut(boxes)):
-        rank[i] = r
-        x0s[i] = x0
+def _xy_cut_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: XY-cut per page, one Spark group per *doc*.
+
+    Grouping Spark-side by doc only (pages iterated in-kernel via pandas
+    groupby indices) cuts the number of serialized pandas groups ~4x — the
+    per-group Arrow/pandas fan-out overhead dominated the per-(doc,page)
+    variant, not the XY-cut itself. Rank stays page-local (0..n-1 per page),
+    identical to the reference's per-page order head."""
+    import numpy as np
+
+    kinds = pdf["kind"].to_numpy()
+    texts = pdf["text"].to_numpy()
+    xs = pdf["x1"].to_numpy()
+    ys = pdf["y1"].to_numpy()
+    rank = np.zeros(len(pdf), dtype=np.int32)
+    x0s = np.zeros(len(pdf), dtype=np.int32)
+    for _, idx in pdf.groupby("page", sort=False).indices.items():
+        boxes = [
+            core.derive_box(kinds[i], texts[i], int(xs[i]), int(ys[i]))
+            for i in idx
+        ]
+        for r, (j, x0) in enumerate(core.xy_cut(boxes)):
+            rank[idx[j]] = r
+            x0s[idx[j]] = x0
     out = pdf.copy()
     out["rank"] = rank
     out["region_x0"] = x0s
@@ -120,7 +133,7 @@ def extract_documents_relational(docs: DataFrame) -> DataFrame:
     )
 
     # M3: XY-cut reading order (the single non-relational kernel)
-    ordered = txt.groupBy("doc_id", "page").applyInPandas(_xy_cut_page, _ORDERED_SCHEMA)
+    ordered = txt.groupBy("doc_id").applyInPandas(_xy_cut_doc, _ORDERED_SCHEMA)
 
     # M2: paragraph-boundary rule over document reading order
     w = Window.partitionBy("doc_id").orderBy("page", "rank")
