@@ -70,11 +70,11 @@ def run_with_lineage(
 
     done = read_lineage(spark, out_dir).where(F.col("status") == "done") \
         .select("bucket").distinct()
-    remaining = (
-        bucketed.select("bucket").distinct()
-        .join(done, "bucket", "left_anti")          # resume: skip completed
-        .orderBy("bucket")
-    )
+    # bucket ids are range(n_buckets) by construction — enumerating them from
+    # the data would full-scan the corpus (a wasted pass at 10^12 rows)
+    all_buckets = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"))
+    remaining = all_buckets.join(done, "bucket", "left_anti").orderBy("bucket")
     todo = [r["bucket"] for r in remaining.collect()]
 
     computed = []
