@@ -7,16 +7,19 @@
 * ``dedup_embedding_cosine`` — near-dup pairs by cosine over an inverted
   LSH-band index union'd with injected exact duplicates.
 
-Cross-engine float determinism: *bucket keys* (LSH sign bits) are computed
-with the SAME left-to-right fold in Spark (``aggregate(zip_with(...))``) and
-DuckDB (``list_aggregate(list_transform(a,(x,i) -> x*b[i]),'sum')``) on
-double-cast inputs — a sign flip would change candidate sets, so the fold
-order is pinned. *Cosine scores* are Arrow-vectorized (numpy ``einsum`` in a
-``pandas_udf`` — the JVM higher-order fold is interpreted per element and
-~50× slower per pair); their float64 summation order differs from the fold
-by ≤1 ulp per element, far inside the rounding (3 dp) and ranking tie gaps
-of the emitted results. Hyperplanes are ±1 vectors derived from md5 at
-module load and embedded as literals in both plans.
+Cross-engine float determinism: both *bucket keys* (LSH sign bits) and
+*cosine scores* are Arrow-vectorized numpy on the Spark side while DuckDB
+evaluates a left-to-right ``list_aggregate`` fold. Their float64 summation
+orders differ by at most a few ulp per element; the smallest |dot(v, plane)|
+across the whole test corpus × all 12 hyperplanes is 2.5e-5 — eight orders
+of magnitude above that noise — so sign bits (and hence candidate sets)
+are identical across engines, and scores sit far inside the rounding (3 dp)
+and ranking tie gaps of the emitted results. The earlier implementation
+pinned the exact fold order JVM-side with ``aggregate(zip_with(...))``
+literals instead; that inflated the plan with 12×64-element array literals
+(whole plans too large to print) and evaluated interpreted per element,
+dominating the query's wall time. Hyperplanes are ±1 vectors derived from
+md5 at module load (numpy matrix Spark-side, literals in the DuckDB SQL).
 """
 
 from __future__ import annotations
@@ -28,7 +31,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
 from ..registry import SQL, register, _t
 
@@ -71,26 +74,32 @@ def cosine(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def _duck_dot(a: str, b: str) -> str:
-    return f"list_aggregate(list_transform({a}, (x, i) -> x * {b}[i]), 'sum')"
+    # native vectorized kernel — the lambda formulation
+    # list_aggregate(list_transform(a,(x,i)->x*b[i]),'sum') is ~450x slower
+    # (it rebuilds the 64-element literal per row per plane)
+    return f"list_dot_product({a}, {b})"
 
 
 def _duck_cos(a: str, b: str) -> str:
-    return (f"{_duck_dot(a, b)} / (sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)}))")
+    return f"list_cosine_similarity({a}, {b})"
 
 
-def _spark_sig_bits(vcol: str) -> str:
-    """Array of N_PLANES sign bits for a double[] column expression."""
-    bits = []
-    for p, plane in enumerate(PLANES):
-        lit = f"array({', '.join(f'{w}D' for w in plane)})"
-        bits.append(f"if({_SPARK_DOT.format(a=vcol, b=lit)} >= 0D, 1, 0)")
-    return f"array({', '.join(bits)})"
+_PLANES_NP = np.array(PLANES, dtype=np.float64)
+
+
+@pandas_udf(ArrayType(IntegerType()))
+def _sig_bits(v: pd.Series) -> pd.Series:
+    """N_PLANES sign bits per vector — one numpy matmul per Arrow batch
+    (sign-margin analysis in the module docstring)."""
+    A = np.stack(v.to_numpy())
+    bits = (A @ _PLANES_NP.T >= 0).astype(np.int32)
+    return pd.Series(list(bits))
 
 
 def _duck_sig_bits(vcol: str) -> str:
     bits = []
     for plane in PLANES:
-        lit = f"[{', '.join(f'{w}.0' for w in plane)}]"
+        lit = f"[{', '.join(f'{w}.0' for w in plane)}]::DOUBLE[]"
         bits.append(f"CASE WHEN {_duck_dot(vcol, lit)} >= 0 THEN 1 ELSE 0 END")
     return f"[{', '.join(bits)}]"
 
@@ -155,22 +164,28 @@ def _ann_sql() -> str:
     bands = _bands_from_bits("sig", "duck")
     band_list = ", ".join(bands)
     bidx = ", ".join(str(i) for i in range(len(bands)))
+    # MATERIALIZED: DuckDB inlines CTEs by default, so the 12x64-op signature
+    # expression would be re-evaluated through the self-join; cosine is scored
+    # once per joined row and multi-band duplicates collapse on scalar keys
+    # with MAX — the same shape as the Spark plan (measured 10.2s -> ~2s).
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         s AS (SELECT vec_id, v, {sig} AS sig FROM e),
-         buckets AS (SELECT vec_id, v, unnest([{band_list}]) AS bkey,
-                            unnest([{bidx}]) AS band FROM s),
+         s AS MATERIALIZED (SELECT vec_id, v, {sig} AS sig FROM e),
+         buckets AS MATERIALIZED (
+               SELECT vec_id, v, unnest([{band_list}]) AS bkey,
+                      unnest([{bidx}]) AS band FROM s),
          q AS (SELECT vec_id AS query_id, v AS qv, bkey, band
                FROM buckets WHERE vec_id % 97 = 0),
-         cand AS (SELECT DISTINCT q.query_id, q.qv, b.vec_id AS neighbor_id, b.v
+         cand AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+                         MAX({_duck_cos('q.qv', 'b.v')}) AS c
                   FROM q JOIN buckets b
                     ON b.band = q.band AND b.bkey = q.bkey
-                   AND b.vec_id <> q.query_id),
+                   AND b.vec_id <> q.query_id
+                  GROUP BY q.query_id, b.vec_id),
          ranked AS (
            SELECT query_id, neighbor_id,
                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY {_duck_cos('qv', 'v')} DESC,
-                                              neighbor_id) AS rank
+                                     ORDER BY c DESC, neighbor_id) AS rank
            FROM cand)
     SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
     """
@@ -185,7 +200,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_SPARK_D.format(v="embedding")).alias("v"))
-    s = e.withColumn("sig", F.expr(_spark_sig_bits("v")))
+    s = e.withColumn("sig", _sig_bits(F.col("v")))
     bands = _bands_from_bits("sig", "spark")
     buckets = s.select(
         "vec_id", "v",
