@@ -37,8 +37,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # nested spans rows are wide (an oversized doc's text child arrays run
+        # to ~10s of MB per row group): the default 4096-row reader batch puts
+        # ~0.5-1 GB of on-heap column vectors per concurrent task, which OOMs
+        # 32-way scans ("Cannot reserve additional contiguous bytes"). 1024
+        # bounds reader-batch memory the same way maxRecordsPerBatch bounds
+        # the Arrow transfer.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
