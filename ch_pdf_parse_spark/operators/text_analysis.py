@@ -155,3 +155,80 @@ def m4_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "citation")
         .agg(F.count("*").alias("n"))
     )
+
+
+# boilerplate line predicate, textually parallel in both engines: nav/footer
+# chrome is short, link-dense ('|' separators), or legal-footer prefixed
+_BP_SPARK = ("contains(line, '|') OR startswith(line, 'Copyright') "
+             "OR length(line) < 20")
+_BP_DUCK = ("contains(x, '|') OR starts_with(x, 'Copyright') "
+            "OR length(x) < 20")
+
+
+@register(
+    "text_main_content",
+    f"""
+    WITH page AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               'Home | About | Login | Search',
+               'Advertisement',
+               text,
+               'Related articles | More from this site',
+               concat('Copyright 2026 site ', doc_id % 10,
+                      '. All rights reserved.')) AS html
+      FROM documents),
+    lines AS (SELECT doc_id, string_split(html, chr(10)) AS l FROM page),
+    kept AS (SELECT doc_id,
+                    list_filter(l, x -> NOT ({_BP_DUCK})) AS keep,
+                    len(l) AS n_lines
+             FROM lines)
+    SELECT doc_id,
+           array_to_string(keep, chr(10)) AS main_content,
+           len(keep) AS n_kept,
+           n_lines - len(keep) AS n_dropped
+    FROM kept
+    """,
+)
+def text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction / boilerplate strip (north_rule: 'HTML
+    boilerplate strip ... DOM heuristics'): deterministic nav/ad/footer
+    chrome is injected around each document's text, then stripped back out
+    by line-level heuristics — the jusText/readability shape as relational
+    ops: explode lines -> classify per line -> re-nest in line order.
+
+    Scale notes: the explode is map-side only and the single shuffle is the
+    per-doc re-nest on doc_id (at 100 TB: pre-bucketed by doc_id = zero
+    shuffle); the line classifier is a pure column predicate (whole-stage
+    codegen), so boilerplate never reaches the expensive downstream
+    operators — the same work-avoidance rewrite as the reference's
+    whiteout-before-OCR (/root/reference/predict/ppocr_server.py:115)."""
+    d = _t(spark, sf_dir, "documents")
+    page = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Home | About | Login | Search"),
+            F.lit("Advertisement"),
+            F.col("text"),
+            F.lit("Related articles | More from this site"),
+            F.concat(F.lit("Copyright 2026 site "), F.col("doc_id") % 10,
+                     F.lit(". All rights reserved.")),
+        ).alias("html"),
+    )
+    lines = page.select(
+        "doc_id", F.posexplode(F.split("html", "\n")).alias("pos", "line"))
+    classified = lines.withColumn("is_bp", F.expr(_BP_SPARK))
+    return (
+        classified.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(
+                        ~F.col("is_bp"), F.struct("pos", "line")))),
+                    lambda x: x["line"]), "\n").alias("main_content"),
+            F.sum(F.when(~F.col("is_bp"), 1).otherwise(0))
+            .cast("long").alias("n_kept"),
+            F.sum(F.col("is_bp").cast("int")).cast("long").alias("n_dropped"),
+        )
+    )
