@@ -1,0 +1,121 @@
+"""Custom stateful streaming operator: cross-batch document assembly.
+
+At crawler/OCR fan-in scale there is no upstream guarantee that one
+document's pages land in one file or one micro-batch — pages arrive
+independently, out of order, across triggers. ``assemble_documents`` is the
+``applyInPandasWithState`` operator for that shape: per-doc state in the
+streaming state store accumulates page payloads; the moment a document's
+page set is complete its extraction (core.extract_document — same golden
+semantics as the batch pipeline) is emitted exactly once and the state is
+dropped. Incomplete documents survive restarts via the checkpoint.
+
+This is the beyond-reference streaming story (the reference itself is
+strictly request/response batch, SURVEY.md §2.11): the batch job covers the
+corpus, ``incremental.py`` covers file-grained arrival, and this operator
+covers page-grained arrival with cross-batch state.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .. import constants as C
+from .. import core
+
+PAGE_ROW_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("page", T.IntegerType()),
+    T.StructField("total_pages", T.IntegerType()),
+    # JSON [{"kind":..,"text":..,"media_ref":..,"offset":..}, ...] in span
+    # arrival order (within-page order is semantic: media pairing is
+    # positional, SURVEY.md §2 J1/O2)
+    T.StructField("spans_json", T.StringType()),
+])
+
+ASSEMBLED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("n_spans", T.IntegerType()),
+    T.StructField("markdown", T.StringType()),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("pages_seen", T.IntegerType()),
+    T.StructField("total_pages", T.IntegerType()),
+    T.StructField("spans_json", T.StringType()),
+])
+
+
+def _span_tuple(d: dict) -> tuple:
+    return (d.get("kind"), d.get("text"), d.get("media_ref"),
+            int(d.get("offset", 0)))
+
+
+def _assemble(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    doc_id = key[0]
+    if state.exists:
+        seen, total, acc = state.get
+        spans = json.loads(acc)
+        total = None if total < 0 else total
+    else:
+        seen, total, spans = 0, None, []
+    for pdf in pdfs:
+        for sj, tp in zip(pdf["spans_json"], pdf["total_pages"]):
+            spans.extend(json.loads(sj))
+            seen += 1
+            total = int(tp)
+    if total is not None and seen >= total:
+        recs, md = core.extract_document([_span_tuple(d) for d in spans])
+        state.remove()
+        yield pd.DataFrame(
+            [{"doc_id": doc_id, "n_spans": len(recs), "markdown": md}])
+    else:
+        state.update((seen, -1 if total is None else total,
+                      json.dumps(spans, ensure_ascii=False)))
+
+
+def assemble_documents(pages: DataFrame) -> DataFrame:
+    """Stateful page→document assembly over a streaming DataFrame of
+    PAGE_ROW_SCHEMA rows. Emits one ASSEMBLED_SCHEMA row per document,
+    exactly once, when all its pages have arrived (across micro-batches
+    and restarts)."""
+    return pages.groupBy("doc_id").applyInPandasWithState(
+        _assemble,
+        outputStructType=ASSEMBLED_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def pages_of(docs: DataFrame) -> DataFrame:
+    """Batch helper: shred a documents table into PAGE_ROW_SCHEMA rows (the
+    page-grained arrival feed), preserving within-page span arrival order."""
+    spans = docs.select(
+        "doc_id", F.posexplode("spans").alias("idx", "s")
+    ).select(
+        "doc_id", "idx", "s",
+        (F.col("s.offset") / F.lit(C.OFFSET_PAGE)).cast("int").alias("page"),
+    )
+    per_page = (
+        spans.groupBy("doc_id", "page")
+        .agg(
+            F.to_json(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "s"))),
+                    lambda x: x["s"],
+                )
+            ).alias("spans_json"),
+        )
+    )
+    n_pages = spans.groupBy("doc_id").agg(
+        F.countDistinct("page").cast("int").alias("total_pages"))
+    return (
+        per_page.join(n_pages, "doc_id")
+        .select("doc_id", "page", "total_pages", "spans_json")
+    )
