@@ -37,14 +37,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
-        # nested spans rows are wide (an oversized doc's text child arrays run
-        # to ~10s of MB per row group): the default 4096-row reader batch puts
-        # ~0.5-1 GB of on-heap column vectors per concurrent task, which OOMs
-        # 32-way scans ("Cannot reserve additional contiguous bytes"). 1024
-        # bounds reader-batch memory the same way maxRecordsPerBatch bounds
-        # the Arrow transfer.
-        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # heap must cover (concurrent scan tasks x reader-batch bytes): the
+        # nested spans rows are wide, so a 32-way scan of an oversized-doc
+        # corpus OOM'd the vectorized reader at 8g ("Cannot reserve additional
+        # contiguous bytes"). Shrinking columnarReaderBatchSize instead would
+        # also fix it but costs 2.4x wall (measured 1024 vs 4096 at 32 cores);
+        # size the heap, keep the reader batch at its default.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
