@@ -101,12 +101,26 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
     # --- LSH: bounded shuffle count --------------------------------------
     p = formatted_plan(q["dedup_minhash_lsh"](spark, sf_dir))
     plans["dedup_minhash_lsh"] = p
-    n_ex = len(re.findall(r"\bExchange\b", p))
+    # count operator detail blocks ("(N) Exchange"), not raw word occurrences
+    # (each node appears twice in formatted output: tree + detail section)
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
     # signature agg + two join sides + distinct ≈ 4-6 exchanges; all-pairs
     # would appear as a nested-loop join instead
     add("dedup_minhash_lsh", "candidate join is hash-based (no all-pairs NLJ)",
         "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p)
     add("dedup_minhash_lsh", "bounded exchanges", n_ex <= 8, f"{n_ex} exchanges")
+
+    # --- boilerplate strip: classify before the (only) shuffle ------------
+    p = formatted_plan(q["text_main_content"](spark, sf_dir))
+    plans["text_main_content"] = p
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    add("text_main_content", "single shuffle (the per-doc re-nest)",
+        n_ex == 1, f"{n_ex} exchanges")
+    # boilerplate must be dropped map-side: the pre-shuffle aggregate is a
+    # partial collect_list over the classified lines, so dropped lines never
+    # shuffle
+    add("text_main_content", "partial (map-side) collect before the exchange",
+        "partial_collect_list" in p)
 
     return checks, plans
 
