@@ -33,6 +33,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F, types as T
+from pyspark.storagelevel import StorageLevel
 
 from . import constants as C
 from . import core
@@ -152,6 +153,15 @@ def extract_documents_relational(docs: DataFrame) -> DataFrame:
                     F.last(F.when(F.col("new_line"), F.col("kind")), True).over(wc))
         .withColumn("seq", F.row_number().over(w))
     )
+    # t2 feeds 6 downstream branches (body/caption/equation spans + 4 markdown
+    # fragment streams). Each branch prunes different columns, so their
+    # exchange subtrees are not identical and Catalyst's ReusedExchange never
+    # fires — without persistence the XY-cut python stage and both windows
+    # re-execute once PER BRANCH (measured: 6 FlatMapGroupsInPandas nodes in
+    # the physical plan, ~6x the twin's wall). Persisting the shared
+    # intermediate is the standard fix (at cluster scale: checkpoint to
+    # storage); MEMORY_AND_DISK so wide corpora spill instead of OOM.
+    t2 = t2.persist(StorageLevel.MEMORY_AND_DISK)
 
     body = t2.where(F.col("kind_eff").isin(*C.BODY_KINDS))
     caps = t2.where(F.col("kind_eff").isin(*C.CAPTION_KINDS))
@@ -197,6 +207,7 @@ def extract_documents_relational(docs: DataFrame) -> DataFrame:
                               F.col("kind_eff").alias("cap_kind"), "rn", "cap_text"),
             ["doc_id", "page", "cap_kind", "rn"], "left")
         .withColumn("cap", F.coalesce("cap_text", F.lit(C.UNMATCHED_CAPTION)))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds spans + 2 md fragments
     )
 
     # ---- output span assembly (F3 nest) --------------------------------
