@@ -58,15 +58,31 @@ def run_with_lineage(
     out_dir: str,
     n_buckets: int = 16,
     fail_after: int | None = None,
+    stage_input: bool = True,
 ) -> list[int]:
     """Extract ``docs`` bucket-by-bucket with lineage; returns the list of
     buckets computed in THIS invocation (completed ones are skipped via
     anti-join). ``fail_after`` aborts after k buckets — the kill/resume test
-    hook (SURVEY.md §5 property test 3)."""
+    hook (SURVEY.md §5 property test 3).
+
+    ``stage_input``: a per-bucket filter on hash(doc_id) cannot prune a plain
+    parquet layout, so bucket-by-bucket extraction would re-scan the full
+    input once per bucket — N full passes at 10^12 rows. Staging writes the
+    input ONCE partitioned by bucket (the parquet stand-in for an Iceberg
+    ``bucket(doc_id, N)`` spec); every per-bucket read is then
+    directory-pruned. On an actually-bucketed Iceberg table pass False."""
     from ..pipeline import extract_documents
 
     os.makedirs(out_dir, exist_ok=True)
-    bucketed = with_bucket(docs, n_buckets)
+    if stage_input:
+        staged = os.path.join(out_dir, "_staged")
+        if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+            # crash-safe: _SUCCESS lands last; a kill mid-staging restages
+            with_bucket(docs, n_buckets).write.mode("overwrite") \
+                .partitionBy("bucket").parquet(staged)
+        bucketed = spark.read.parquet(staged)
+    else:
+        bucketed = with_bucket(docs, n_buckets)
 
     done = read_lineage(spark, out_dir).where(F.col("status") == "done") \
         .select("bucket").distinct()
