@@ -7,19 +7,24 @@
 * ``dedup_embedding_cosine`` — near-dup pairs by cosine over an inverted
   LSH-band index union'd with injected exact duplicates.
 
-Cross-engine float determinism: both *bucket keys* (LSH sign bits) and
-*cosine scores* are Arrow-vectorized numpy on the Spark side while DuckDB
-evaluates a left-to-right ``list_aggregate`` fold. Their float64 summation
-orders differ by at most a few ulp per element; the smallest |dot(v, plane)|
-across the whole test corpus × all 12 hyperplanes is 2.5e-5 — eight orders
-of magnitude above that noise — so sign bits (and hence candidate sets)
-are identical across engines, and scores sit far inside the rounding (3 dp)
-and ranking tie gaps of the emitted results. The earlier implementation
-pinned the exact fold order JVM-side with ``aggregate(zip_with(...))``
-literals instead; that inflated the plan with 12×64-element array literals
-(whole plans too large to print) and evaluated interpreted per element,
-dominating the query's wall time. Hyperplanes are ±1 vectors derived from
-md5 at module load (numpy matrix Spark-side, literals in the DuckDB SQL).
+Cross-engine float determinism: bucket keys (LSH sign bits) and cosine
+scores are numpy (``einsum``/matmul) on the Spark side and DuckDB's native
+``list_dot_product`` / ``list_cosine_similarity`` on the oracle side. The
+two kernels' float64 accumulation orders are NOT pinned to each other
+(either may use pairwise/SIMD/FMA accumulation); the argument is a margin
+one, not an order one: any two correctly-rounded float64 summation
+strategies over 64 terms differ by at most a few hundred ulp (~1e-13 at
+these magnitudes), while the smallest |dot(v, plane)| across the whole test
+corpus × all 12 hyperplanes is 2.5e-5 — eight orders of magnitude wider. So
+sign bits (hence candidate sets) are identical across engines, and cosine
+scores sit far inside the rounding (2-3 dp) and ranking tie gaps of the
+emitted results. (History: both sides originally pinned an explicit
+left-to-right ``aggregate(zip_with(...))`` / ``list_aggregate`` fold; that
+made the margin argument trivial but inflated plans with 12×64-element
+literals and evaluated interpreted per element — it dominated the query's
+wall time on both engines and the margin makes it unnecessary.)
+Hyperplanes are ±1 vectors derived from md5 at module load (numpy matrix
+Spark-side, literals in the DuckDB SQL).
 """
 
 from __future__ import annotations

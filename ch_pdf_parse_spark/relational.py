@@ -117,10 +117,21 @@ def explode_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+# persisted intermediates of the most recent extract_documents_relational
+# call: unpersisted on the next call so repeated invocations (bench best-of-N,
+# test suites) don't accumulate cache entries for the session's lifetime
+_LAST_PERSISTED: list = []
+
+
 def extract_documents_relational(docs: DataFrame) -> DataFrame:
     from .packaging import ensure_on_executors
 
     ensure_on_executors(docs.sparkSession)
+    while _LAST_PERSISTED:
+        try:
+            _LAST_PERSISTED.pop().unpersist(blocking=False)
+        except Exception:  # session of a prior call may already be stopped
+            pass
 
     e = explode_documents(docs)
     media = e.where(F.col("kind").isin("figure", "table"))
@@ -162,6 +173,7 @@ def extract_documents_relational(docs: DataFrame) -> DataFrame:
     # intermediate is the standard fix (at cluster scale: checkpoint to
     # storage); MEMORY_AND_DISK so wide corpora spill instead of OOM.
     t2 = t2.persist(StorageLevel.MEMORY_AND_DISK)
+    _LAST_PERSISTED.append(t2)
 
     body = t2.where(F.col("kind_eff").isin(*C.BODY_KINDS))
     caps = t2.where(F.col("kind_eff").isin(*C.CAPTION_KINDS))
@@ -209,6 +221,7 @@ def extract_documents_relational(docs: DataFrame) -> DataFrame:
         .withColumn("cap", F.coalesce("cap_text", F.lit(C.UNMATCHED_CAPTION)))
         .persist(StorageLevel.MEMORY_AND_DISK)  # feeds spans + 2 md fragments
     )
+    _LAST_PERSISTED.append(matched)
 
     # ---- output span assembly (F3 nest) --------------------------------
     body_out = body_recs.select(

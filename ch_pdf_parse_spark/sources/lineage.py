@@ -70,10 +70,36 @@ def run_with_lineage(
     input once per bucket — N full passes at 10^12 rows. Staging writes the
     input ONCE partitioned by bucket (the parquet stand-in for an Iceberg
     ``bucket(doc_id, N)`` spec); every per-bucket read is then
-    directory-pruned. On an actually-bucketed Iceberg table pass False."""
+    directory-pruned. On an actually-bucketed Iceberg table pass False.
+
+    Resume assumes the SAME input and bucketing: a manifest (n_buckets +
+    input file list) is recorded at staging time; a later call into the same
+    ``out_dir`` with a different input or n_buckets raises instead of
+    silently extracting against the stale snapshot (or stale lineage)."""
+    import hashlib
+    import json
+
     from ..pipeline import extract_documents
 
     os.makedirs(out_dir, exist_ok=True)
+    # input identity from file-level metadata only (no data scan): catches
+    # appended/replaced part-files and a changed n_buckets across invocations
+    sig = hashlib.sha256(json.dumps(
+        {"n_buckets": n_buckets, "files": sorted(docs.inputFiles())}
+    ).encode()).hexdigest()[:16]
+    manifest = os.path.join(out_dir, "_manifest.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            prev = json.load(f)
+        if prev.get("sig") != sig:
+            raise ValueError(
+                f"{out_dir} holds lineage/staging for a different input or "
+                f"n_buckets (manifest sig {prev.get('sig')} != {sig}); "
+                "use a fresh out_dir or delete the old one")
+    else:
+        with open(manifest, "w") as f:
+            json.dump({"sig": sig, "n_buckets": n_buckets}, f)
+
     if stage_input:
         staged = os.path.join(out_dir, "_staged")
         if not os.path.exists(os.path.join(staged, "_SUCCESS")):

@@ -45,9 +45,12 @@ ASSEMBLED_SCHEMA = T.StructType([
 ])
 
 _STATE_SCHEMA = T.StructType([
-    T.StructField("pages_seen", T.IntegerType()),
     T.StructField("total_pages", T.IntegerType()),
-    T.StructField("spans_json", T.StringType()),
+    # JSON {page: "<page's spans_json chunk>"} — chunks stay opaque strings
+    # in state, so a trigger re-serializes only string references, never the
+    # accumulated spans themselves (single-value state is rewritten per
+    # commit regardless; this bounds the CPU, not the bytes)
+    T.StructField("page_chunks", T.StringType()),
 ])
 
 
@@ -59,24 +62,30 @@ def _span_tuple(d: dict) -> tuple:
 def _assemble(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     doc_id = key[0]
     if state.exists:
-        seen, total, acc = state.get
-        spans = json.loads(acc)
+        total, acc = state.get
+        chunks = json.loads(acc)
         total = None if total < 0 else total
     else:
-        seen, total, spans = 0, None, []
+        total, chunks = None, {}
     for pdf in pdfs:
-        for sj, tp in zip(pdf["spans_json"], pdf["total_pages"]):
-            spans.extend(json.loads(sj))
-            seen += 1
+        for pg, sj, tp in zip(pdf["page"], pdf["spans_json"],
+                              pdf["total_pages"]):
+            # at-least-once upstreams may redeliver a page row: first
+            # delivery wins, duplicates are ignored (completion counts
+            # DISTINCT pages, never raw rows)
+            chunks.setdefault(str(int(pg)), sj)
             total = int(tp)
-    if total is not None and seen >= total:
+    if total is not None and len(chunks) >= total:
+        spans = []
+        for pg in sorted(chunks, key=int):
+            spans.extend(json.loads(chunks[pg]))
         recs, md = core.extract_document([_span_tuple(d) for d in spans])
         state.remove()
         yield pd.DataFrame(
             [{"doc_id": doc_id, "n_spans": len(recs), "markdown": md}])
     else:
-        state.update((seen, -1 if total is None else total,
-                      json.dumps(spans, ensure_ascii=False)))
+        state.update((-1 if total is None else total,
+                      json.dumps(chunks, ensure_ascii=False)))
 
 
 def assemble_documents(pages: DataFrame) -> DataFrame:

@@ -25,6 +25,10 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--no-lineage", action="store_true",
                     help="single-pass write, no checkpoint/resume")
+    ap.add_argument("--no-stage-input", action="store_true",
+                    help="skip the bucket-partitioned staging copy (use when "
+                         "the input is already bucketed, e.g. an Iceberg "
+                         "table with a bucket(doc_id, N) spec)")
     args = ap.parse_args()
 
     try:
@@ -46,7 +50,9 @@ def main() -> None:
         write_table(extract_documents(docs), args.output)
         computed = ["all"]
     else:
-        computed = run_with_lineage(spark, docs, args.output, n_buckets=args.buckets)
+        computed = run_with_lineage(spark, docs, args.output,
+                                    n_buckets=args.buckets,
+                                    stage_input=not args.no_stage_input)
     n_docs = docs.count()
     wall = time.time() - t0
     print(json.dumps({

@@ -41,3 +41,20 @@ def test_rerun_is_noop(spark, docs_df, tmp_path):
     out = str(tmp_path / "out2")
     L.run_with_lineage(spark, docs_df, out, n_buckets=4)
     assert L.run_with_lineage(spark, docs_df, out, n_buckets=4) == []
+
+
+def test_mismatched_input_or_buckets_raises(spark, docs_df, tmp_path):
+    """Resuming into an out_dir staged for a different input or bucketing
+    must fail loudly, never silently extract against the stale snapshot."""
+    out = str(tmp_path / "out_mismatch")
+    L.run_with_lineage(spark, docs_df, out, n_buckets=4)
+
+    with pytest.raises(ValueError, match="different input or"):
+        L.run_with_lineage(spark, docs_df, out, n_buckets=8)
+
+    other = docs_df.limit(3)
+    other_path = str(tmp_path / "other_docs")
+    other.write.parquet(other_path)
+    other_df = spark.read.parquet(other_path)
+    with pytest.raises(ValueError, match="different input or"):
+        L.run_with_lineage(spark, other_df, out, n_buckets=4)

@@ -60,3 +60,39 @@ def test_pages_assemble_across_runs(spark, corpus_dir, tmp_path):
     # rerun with nothing new: a no-op
     _drain(spark, src + "/*", out, ckpt)
     assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_duplicate_page_delivery_is_ignored(spark, corpus_dir, tmp_path):
+    """At-least-once upstreams may redeliver a page row: completion must
+    count distinct pages, first delivery wins, output unchanged."""
+    src = str(tmp_path / "pages_dup")
+    out = str(tmp_path / "assembled_dup")
+    ckpt = str(tmp_path / "ckpt_dup")
+    os.makedirs(src)
+
+    docs = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet")) \
+        .where("size(spans) > 0")
+    pages = pages_of(docs).cache()
+    multi = pages.groupBy("doc_id").count().where("count >= 2") \
+        .select("doc_id").limit(1)
+    victim = [r["doc_id"] for r in multi.collect()]
+    assert victim, "fixture corpus should contain a multi-page doc"
+
+    # drop 1: page 0 of the victim doc, delivered TWICE (two files)
+    p0 = pages.join(multi, "doc_id").where("page = 0")
+    p0.write.mode("overwrite").parquet(os.path.join(src, "drop1"))
+    p0.write.mode("overwrite").parquet(os.path.join(src, "drop1b"))
+    _drain(spark, src + "/*", out, ckpt)
+    # duplicate rows must NOT count as completion
+    assert not os.path.exists(os.path.join(out, "_SUCCESS")) or \
+        spark.read.parquet(out).where(
+            F.col("doc_id").isin(victim)).count() == 0
+
+    # drop 2: the rest of the corpus's pages → everything completes once
+    pages.write.mode("overwrite").parquet(os.path.join(src, "drop2"))
+    _drain(spark, src + "/*", out, ckpt)
+    got = {(r["doc_id"], r["markdown"])
+           for r in spark.read.parquet(out).collect()}
+    want = {(r["doc_id"], r["markdown"])
+            for r in extract_documents(docs).select("doc_id", "markdown").collect()}
+    assert got == want
