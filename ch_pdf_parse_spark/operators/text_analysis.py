@@ -232,3 +232,86 @@ def text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("is_bp").cast("int")).cast("long").alias("n_dropped"),
         )
     )
+
+
+@register(
+    "pipeline_training_corpus",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, text FROM documents
+      WHERE doc_id % 13 = 0),
+    scored AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN {_STOPWORDS})) * 1.0
+               / greatest(len(string_split(text, ' ')), 1) AS stop_ratio,
+             CASE WHEN len(regexp_extract_all(text, '{_CJK}')) * 1.0
+                       / greatest(length(text), 1) > 0.3 THEN 'zh'
+                  WHEN len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                       / greatest(length(text), 1) > 0.5 THEN 'en'
+                  ELSE 'und' END AS lang
+      FROM corpus),
+    filtered AS (
+      SELECT * FROM scored
+      WHERE lang <> 'und' AND n_tokens >= 5 AND stop_ratio >= 0.05),
+    deduped AS (
+      SELECT md5(text) AS h, min(doc_id) AS keep_id,
+             count(*) AS n_copies,
+             min(n_tokens) AS n_tokens, min(lang) AS lang
+      FROM filtered GROUP BY md5(text))
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_copies) - count(*) AS n_dups_removed,
+           sum(n_tokens) AS total_tokens,
+           round(avg(n_tokens), 2) AS avg_tokens
+    FROM deduped GROUP BY lang
+    """,
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation: ingest (with injected exact
+    duplicates) → language ID → quality filter (token count, stopword
+    ratio) → exact dedup keeping the lowest doc_id → per-language corpus
+    stats. Demonstrates that the §beyond-reference operators COMPOSE as one
+    Catalyst plan: every step is a pure column expression, the only
+    shuffles are the dedup groupBy(md5) and the final stats agg, and both
+    aggregate map-side first (partial agg). At 100 TB the dedup groupBy
+    shuffles only (hash, doc_id, n_tokens, lang) — never the text."""
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = base.unionByName(
+        base.where(F.col("doc_id") % 13 == 0)
+        .select((F.col("doc_id") + 500000).alias("doc_id"), "text"))
+    l = F.split("text", " ")
+    ntok = F.size(l)
+    stop_in = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    cjk = F.size(F.regexp_extract_all("text", F.lit(_CJK), F.lit(0)))
+    lat = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]"), F.lit(0)))
+    tot = F.greatest(F.length("text"), F.lit(1))
+    scored = corpus.select(
+        "doc_id", "text",
+        ntok.alias("n_tokens"),
+        (F.size(F.expr(f"filter(split(text, ' '), x -> x IN ({stop_in}))"))
+         * 1.0 / F.greatest(ntok, F.lit(1))).alias("stop_ratio"),
+        F.when(cjk * 1.0 / tot > 0.3, "zh")
+        .when(lat * 1.0 / tot > 0.5, "en")
+        .otherwise("und").alias("lang"),
+    )
+    filtered = scored.where(
+        (F.col("lang") != "und") & (F.col("n_tokens") >= 5)
+        & (F.col("stop_ratio") >= 0.05))
+    deduped = (
+        filtered.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"),
+             F.count("*").alias("n_copies"),
+             F.min("n_tokens").alias("n_tokens"),
+             F.min("lang").alias("lang"))
+    )
+    return (
+        deduped.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             (F.sum("n_copies") - F.count("*")).alias("n_dups_removed"),
+             F.sum("n_tokens").alias("total_tokens"),
+             F.round(F.avg("n_tokens"), 2).alias("avg_tokens"))
+    )
