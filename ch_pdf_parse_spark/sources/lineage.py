@@ -139,6 +139,29 @@ def run_with_lineage(
     return computed
 
 
+def lineage_report(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-partition metrics (north_rule: 'per-partition lineage + metrics'):
+    docs/sec and spans/sec per bucket plus a TOTAL row — the operational view
+    of a run (skew shows up as a bucket whose docs_per_sec lags its peers)."""
+    lin = read_lineage(spark, out_dir).where(F.col("status") == "done")
+    per = lin.select(
+        F.col("bucket").cast("string").alias("bucket"),
+        "doc_count", "span_count", "wall_ms",
+        F.round(F.col("doc_count") * 1000.0 / F.greatest("wall_ms", F.lit(1)), 1)
+        .alias("docs_per_sec"),
+    )
+    total = lin.agg(
+        F.lit("TOTAL").alias("bucket"),
+        F.sum("doc_count").alias("doc_count"),
+        F.sum("span_count").alias("span_count"),
+        F.sum("wall_ms").alias("wall_ms"),
+        F.round(F.sum("doc_count") * 1000.0
+                / F.greatest(F.sum("wall_ms"), F.lit(1)), 1)
+        .alias("docs_per_sec"),
+    )
+    return per.unionByName(total)
+
+
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
     parts = [os.path.join(out_dir, d) for d in os.listdir(out_dir)
              if d.startswith("bucket=")]

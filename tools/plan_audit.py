@@ -122,6 +122,17 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
     add("text_main_content", "partial (map-side) collect before the exchange",
         "partial_collect_list" in p)
 
+    # --- composed pipeline: text never shuffles ---------------------------
+    p = formatted_plan(q["pipeline_training_corpus"](spark, sf_dir))
+    plans["pipeline_training_corpus"] = p
+    ex_inputs = re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", p)
+    add("pipeline_training_corpus", "no exchange carries the text column",
+        bool(ex_inputs) and all("text#" not in x for x in ex_inputs),
+        f"{len(ex_inputs)} exchanges, inputs: "
+        + "; ".join(x[:60] for x in ex_inputs))
+    add("pipeline_training_corpus", "both aggs combine map-side (partial_*)",
+        len(re.findall(r"partial_count|partial_sum|partial_min", p)) >= 2)
+
     return checks, plans
 
 
