@@ -270,7 +270,8 @@ class Span:
 class ExtractState:
     """Cross-page fold state (mirrors mdstring / parsed_json accumulation in
     predict/pdf2markdown.py:356-359). Split out so the salted page-sharded
-    path can merge partial results (operators/salting.py)."""
+    path can merge partial results (pipeline._extract_page_partial /
+    pipeline._stitch_doc)."""
 
     records: list[tuple[str, str, str]] = field(default_factory=list)  # kind,text,media_ref
     markdown: list[str] = field(default_factory=list)
