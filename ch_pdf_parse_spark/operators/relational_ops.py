@@ -283,3 +283,28 @@ def p_coalesce_default(spark, sf_dir):
         "o_orderkey",
         F.coalesce(F.nullif("o_orderpriority", F.lit("1-URGENT")), "o_orderstatus")
         .alias("effective"))
+
+
+@register(
+    "a_windowed_events",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a_windowed_events(spark, sf_dir):
+    """Tumbling-window aggregation over the events table — the exact batch
+    twin of streaming/incremental.windowed_event_stats (same agg shape the
+    watermarked stream runs; asserted equal in tests/test_streaming.py).
+    Epoch-aligned 1-hour windows == date_trunc('hour'), so the oracle is
+    plain SQL."""
+    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("window.start").alias("window_start"),
+                "event_type", "n", "total_value")
+    )
