@@ -23,6 +23,7 @@ to bucket runtime; buckets could also be submitted concurrently from threads
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -59,6 +60,7 @@ def run_with_lineage(
     n_buckets: int = 16,
     fail_after: int | None = None,
     stage_input: bool = True,
+    parallelism: int = 1,
 ) -> list[int]:
     """Extract ``docs`` bucket-by-bucket with lineage; returns the list of
     buckets computed in THIS invocation (completed ones are skipped via
@@ -119,10 +121,9 @@ def run_with_lineage(
     remaining = all_buckets.join(done, "bucket", "left_anti").orderBy("bucket")
     todo = [r["bucket"] for r in remaining.collect()]
 
-    computed = []
-    for i, b in enumerate(todo):
-        if fail_after is not None and i >= fail_after:
-            raise RuntimeError(f"injected failure after {fail_after} buckets")
+    lineage_lock = threading.Lock()
+
+    def do_bucket(b: int) -> int:
         t0 = time.time()
         part = bucketed.where(F.col("bucket") == b).drop("bucket")
         out = extract_documents(part)
@@ -132,10 +133,34 @@ def run_with_lineage(
             .agg(F.count("*").alias("d"), F.sum(F.size("spans")).alias("s"))
             .collect()[0]
         )
-        rec = [(b, stats["d"], stats["s"] or 0, int((time.time() - t0) * 1000), "done")]
-        spark.createDataFrame(rec, LINEAGE_SCHEMA).write.mode("append") \
-            .parquet(lineage_path(out_dir))
-        computed.append(b)
+        rec = [(b, stats["d"], stats["s"] or 0,
+                int((time.time() - t0) * 1000), "done")]
+        # the bucket's data is fully committed before its lineage row lands,
+        # so a kill between the two re-extracts the bucket (idempotent
+        # overwrite), never records a bucket it didn't finish. The lock only
+        # serializes the tiny lineage append (concurrent parquet appends to
+        # one directory race in _temporary staging).
+        with lineage_lock:
+            spark.createDataFrame(rec, LINEAGE_SCHEMA).write.mode("append") \
+                .parquet(lineage_path(out_dir))
+        return b
+
+    computed: list[int] = []
+    if parallelism <= 1:
+        for i, b in enumerate(todo):
+            if fail_after is not None and i >= fail_after:
+                raise RuntimeError(
+                    f"injected failure after {fail_after} buckets")
+            computed.append(do_bucket(b))
+        return computed
+    # concurrent bucket submission (Spark scheduler interleaves the jobs):
+    # keeps a large cluster busy when single buckets don't fill it.
+    if fail_after is not None:
+        raise ValueError("fail_after is a serial-mode test hook")
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=parallelism) as pool:
+        computed = list(pool.map(do_bucket, todo))
     return computed
 
 

@@ -58,3 +58,16 @@ def test_mismatched_input_or_buckets_raises(spark, docs_df, tmp_path):
     other_df = spark.read.parquet(other_path)
     with pytest.raises(ValueError, match="different input or"):
         L.run_with_lineage(spark, other_df, out, n_buckets=4)
+
+
+def test_parallel_buckets_match_serial(spark, docs_df, tmp_path):
+    """Concurrent bucket submission produces the identical output table and
+    a complete lineage manifest."""
+    out_s = str(tmp_path / "out_serial")
+    out_p = str(tmp_path / "out_parallel")
+    L.run_with_lineage(spark, docs_df, out_s, n_buckets=6)
+    L.run_with_lineage(spark, docs_df, out_p, n_buckets=6, parallelism=3)
+    assert _collect(L.read_output(spark, out_p)) == _collect(L.read_output(spark, out_s))
+    lin = L.read_lineage(spark, out_p).collect()
+    assert {r["bucket"] for r in lin} == set(range(6))
+    assert sum(r["doc_count"] for r in lin) == docs_df.count()
