@@ -12,18 +12,23 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 import zipfile
 
 from pyspark.sql import SparkSession
 
 _ENSURED: set[str] = set()
+_LOCK = threading.Lock()
 
 
 def build_zip(dest: str | None = None) -> str:
     """Zip this package (pure-python, no data) for --py-files / addPyFile."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     dest = dest or os.path.join(tempfile.gettempdir(), "ch_pdf_parse_spark.zip")
-    tmp = dest + ".tmp"
+    # unique tmp per call: concurrent builders (e.g. the lineage runner's
+    # bucket threads) must not share a staging path — os.replace stays the
+    # single atomic publish step
+    tmp = f"{dest}.tmp.{os.getpid()}.{threading.get_ident()}"
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
         for root, _dirs, files in os.walk(pkg_dir):
             if "__pycache__" in root:
@@ -40,9 +45,13 @@ def build_zip(dest: str | None = None) -> str:
 
 
 def ensure_on_executors(spark: SparkSession) -> None:
-    """Idempotently ship the package to Python workers of this session."""
+    """Idempotently ship the package to Python workers of this session
+    (thread-safe: concurrent first calls collapse to one addPyFile)."""
     key = spark.sparkContext.applicationId
     if key in _ENSURED:
         return
-    spark.sparkContext.addPyFile(build_zip())
-    _ENSURED.add(key)
+    with _LOCK:
+        if key in _ENSURED:
+            return
+        spark.sparkContext.addPyFile(build_zip())
+        _ENSURED.add(key)

@@ -25,6 +25,10 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--no-lineage", action="store_true",
                     help="single-pass write, no checkpoint/resume")
+    ap.add_argument("--parallelism", type=int, default=1,
+                    help="buckets submitted concurrently (Spark scheduler "
+                         "interleaves the jobs; use when one bucket's tasks "
+                         "don't fill the cluster)")
     ap.add_argument("--no-stage-input", action="store_true",
                     help="skip the bucket-partitioned staging copy (use when "
                          "the input is already bucketed, e.g. an Iceberg "
@@ -52,7 +56,8 @@ def main() -> None:
     else:
         computed = run_with_lineage(spark, docs, args.output,
                                     n_buckets=args.buckets,
-                                    stage_input=not args.no_stage_input)
+                                    stage_input=not args.no_stage_input,
+                                    parallelism=args.parallelism)
     n_docs = docs.count()
     wall = time.time() - t0
     print(json.dumps({
