@@ -262,7 +262,7 @@ class Span:
 
     @classmethod
     def from_raw(cls, kind: str, text: str, media_ref: str, offset: int, idx: int) -> "Span":
-        page, y1, x1 = unpack_offset(offset)
+        page, y1, x1 = unpack_offset(offset or 0)  # null geometry ≡ origin
         return cls(kind or "", text or "", media_ref or "", page, y1, x1, idx)
 
 

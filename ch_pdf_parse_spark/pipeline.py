@@ -114,7 +114,8 @@ def _extract_arrow(it):
         texts = vals.field("text").to_pylist()
         refs = low_card_strs(vals.field("media_ref"))
         pages, y1s, x1s = kernel.decode_offsets(
-            vals.field("offset").to_numpy(zero_copy_only=False))
+            vals.field("offset").fill_null(0)  # null geometry ≡ origin
+            .to_numpy(zero_copy_only=False))
         # flat output columns + list offsets (built directly; no per-span dicts)
         ok, ot, om = [], [], []
         loffs = [0]
@@ -240,7 +241,10 @@ def extract_documents(
     # the salted long tail is <0.1% of files). Fallback: compute size(spans).
     n = F.col("n_spans") if "n_spans" in docs.columns else F.size("spans")
     docs = docs.select("doc_id", "spans")
-    small = docs.where(n <= salt_threshold)
+    # null spans rows must route somewhere (n is null ⇒ BOTH branch
+    # predicates are unknown and the doc would silently vanish): they take
+    # the small branch and extract to (empty spans, empty markdown)
+    small = docs.where((n <= salt_threshold) | n.isNull())
     big = docs.where(n > salt_threshold)
 
     small_out = small.mapInArrow(_extract_arrow, OUTPUT_SCHEMA)

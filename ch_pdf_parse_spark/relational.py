@@ -108,18 +108,20 @@ def classify_expr(kind, text, page, y1):
 
 
 def explode_documents(docs: DataFrame) -> DataFrame:
-    """F1 + offset decode (P6/P7 analog arithmetic)."""
+    """F1 + offset decode (P6/P7 analog arithmetic). Nulls normalize exactly
+    as core.Span.from_raw: kind/text/media_ref ≡ '', offset ≡ 0."""
+    off = F.coalesce(F.col("s.offset"), F.lit(0))
     return (
         docs.select("doc_id", F.posexplode("spans").alias("idx", "s"))
         .select(
             "doc_id",
             "idx",
-            F.col("s.kind").alias("kind"),
-            F.col("s.text").alias("text"),
-            F.col("s.media_ref").alias("media_ref"),
-            F.floor(F.col("s.offset") / C.OFFSET_PAGE).cast("int").alias("page"),
-            F.floor((F.col("s.offset") % C.OFFSET_PAGE) / C.OFFSET_Y).cast("int").alias("y1"),
-            (F.col("s.offset") % C.OFFSET_Y).cast("int").alias("x1"),
+            F.coalesce(F.col("s.kind"), F.lit("")).alias("kind"),
+            F.coalesce(F.col("s.text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("s.media_ref"), F.lit("")).alias("media_ref"),
+            F.floor(off / C.OFFSET_PAGE).cast("int").alias("page"),
+            F.floor((off % C.OFFSET_PAGE) / C.OFFSET_Y).cast("int").alias("y1"),
+            (off % C.OFFSET_Y).cast("int").alias("x1"),
         )
     )
 
@@ -182,7 +184,10 @@ def extract_documents_relational(docs: DataFrame) -> DataFrame:
     t2 = t2.persist(StorageLevel.MEMORY_AND_DISK)
     _LAST_PERSISTED.append(t2)
 
-    body = t2.where(F.col("kind_eff").isin(*C.BODY_KINDS))
+    # body is the DEFAULT branch (core.extract_page falls through to it for
+    # any kind that isn't a caption or equation — including unknown/empty
+    # kinds), so filter by complement, never by whitelist
+    body = t2.where(~F.col("kind_eff").isin(*C.CAPTION_KINDS, "equation"))
     caps = t2.where(F.col("kind_eff").isin(*C.CAPTION_KINDS))
     eqs = t2.where(F.col("kind_eff") == "equation")
 

@@ -24,7 +24,8 @@ from hypothesis import given, settings, strategies as st
 from ch_pdf_parse_spark import constants as C
 from ch_pdf_parse_spark import core, kernel
 
-KINDS = list(C.TEXT_KINDS) + list(C.MEDIA_KINDS) + [C.UNLABELED, "", None]
+KINDS = list(C.TEXT_KINDS) + list(C.MEDIA_KINDS) + [C.UNLABELED, "", None,
+                                                    "banana"]  # unknown kind
 
 # alphabet chosen to hit every classifier branch: caption prefixes 图/表 +
 # digit, reference brackets, 摘要/关键词 prefixes, the equation pseudo-text
@@ -36,8 +37,11 @@ _spans = st.lists(
         st.sampled_from(KINDS),
         st.one_of(st.none(), st.text(alphabet=_ALPHABET, max_size=10)),
         st.one_of(st.none(), st.sampled_from(["", "m1", "doc_p0_figure_0"])),
-        st.tuples(st.integers(0, 3), st.integers(0, 999), st.integers(0, 9999))
-        .map(lambda t: core.pack_offset(*t)),
+        st.one_of(
+            st.none(),  # null offset ≡ origin (normalization contract)
+            st.tuples(st.integers(0, 3), st.integers(0, 999),
+                      st.integers(0, 9999)).map(lambda t: core.pack_offset(*t)),
+        ),
     ),
     max_size=50,
 )
@@ -47,7 +51,8 @@ def _run_kernel(spans):
     kinds = [s[0] for s in spans]
     texts = [s[1] for s in spans]
     refs = [s[2] for s in spans]
-    pages, y1s, x1s = kernel.decode_offsets([s[3] for s in spans])
+    # the mapInArrow wrapper fill_null(0)s offsets before the kernel sees them
+    pages, y1s, x1s = kernel.decode_offsets([s[3] or 0 for s in spans])
     return kernel.extract_document(
         kinds, texts, refs, pages, y1s, x1s, 0, len(spans))
 
