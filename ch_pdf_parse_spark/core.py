@@ -280,20 +280,19 @@ class ExtractState:
     prev_y1: int | None = None
     prev_page: int | None = None
     prev_kind: str | None = None
-    # True/False once the first body record opens: did it open as a
-    # continuation (new_line False with empty records)? Consumed by the
-    # salted-path stitch (pipeline._stitch_doc).
-    opened_with_continuation: bool | None = None
 
 
-def extract_page(state: ExtractState, page: int, spans: list[Span]) -> None:
-    """Process one page's spans (input order) into the fold state.
+def prepare_page(spans: list[Span]) -> tuple[list[tuple[Span, int]], list[Span]]:
+    """Page-local half of extract_page: classification (M1) + reading order
+    (M3). Pure function of the page's spans — no cross-page state — so the
+    salted pipeline runs it in parallel per (doc, page) and feeds the results
+    to the sequential ``fold_page`` (which needs the running state).
 
-    Mirrors one iteration of the page loop predict/pdf2markdown.py:360-672.
+    Returns (ordered [(classified text span, region_x0)], media in *input*
+    order — prepare_input /root/reference/predict/pdf2markdown.py:255-267).
     """
-    # classification (M1) + equation pseudo-text (predict/pdf2markdown.py:268-274,380-388)
     text_spans: list[Span] = []
-    media: list[Span] = []  # figures/tables in *input* order (prepare_input :255-267)
+    media: list[Span] = []
     for s in spans:
         kind = s.kind
         text = s.text
@@ -313,7 +312,18 @@ def extract_page(state: ExtractState, page: int, spans: list[Span]) -> None:
     # reading order (M3 surrogate; replaces annotate.sort(key=order, reverse=True) :514)
     boxes = [derive_box(s.kind, s.text, s.x1, s.y1) for s in text_spans]
     ordered = [(text_spans[i], x0) for i, x0 in xy_cut(boxes)]
+    return ordered, media
 
+
+def fold_page(
+    state: ExtractState, page: int,
+    ordered: list[tuple[Span, int]], media: list[Span],
+) -> None:
+    """Stateful half of extract_page: the per-span fold, caption grouping and
+    caption↔media matching. Consumes ``prepare_page`` output; kind
+    inheritance across page boundaries (including a page opening as the
+    continuation of a caption/equation) follows from ``state.prev_kind``
+    with no approximation."""
     # per-page caption accumulators (:515-518); groups flush in reading order
     tab_groups: list[list[str]] = []
     fig_groups: list[list[str]] = []
@@ -340,8 +350,6 @@ def extract_page(state: ExtractState, page: int, spans: list[Span]) -> None:
             continue
         # body kinds (:549-651)
         if new_line:
-            if state.opened_with_continuation is None:
-                state.opened_with_continuation = False
             state.records.append((kind, s.text, ""))
             sep = C.SEP_TITLE if kind == "title" else C.SEP_PARA
             state.markdown.append(sep + s.text)
@@ -351,7 +359,6 @@ def extract_page(state: ExtractState, page: int, spans: list[Span]) -> None:
                 k, t, m = state.records[-1]
                 state.records[-1] = (k, t + s.text, m)
             else:
-                state.opened_with_continuation = True
                 state.records.append((kind, s.text, ""))
 
     # caption <-> media positional match (greedy by caption index, :64-150)
@@ -368,6 +375,15 @@ def extract_page(state: ExtractState, page: int, spans: list[Span]) -> None:
         state.markdown.append(f"![]({ref}){C.SEP_MEDIA}{cap}{C.SEP_MEDIA}")
     state.table_caps.extend(tab_matched)
     state.figure_caps.extend(fig_matched)
+
+
+def extract_page(state: ExtractState, page: int, spans: list[Span]) -> None:
+    """Process one page's spans (input order) into the fold state.
+
+    Mirrors one iteration of the page loop predict/pdf2markdown.py:360-672.
+    """
+    ordered, media = prepare_page(spans)
+    fold_page(state, page, ordered, media)
 
 
 def _caption_accumulate(groups: list[list[str]], text: str, new_line: bool) -> None:

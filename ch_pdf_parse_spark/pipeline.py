@@ -53,20 +53,24 @@ OUTPUT_SCHEMA = T.StructType([
     T.StructField("markdown", T.StringType()),
 ])
 
-_CAP_STRUCT = T.StructType([
-    T.StructField("cap", T.StringType()),
+_ORDERED_STRUCT = T.StructType([
+    T.StructField("kind", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("y1", T.IntegerType()),
+    T.StructField("x1", T.IntegerType()),
+    T.StructField("x0", T.IntegerType()),   # region_x0 from XY-cut
+])
+
+_MEDIA_STRUCT = T.StructType([
+    T.StructField("kind", T.StringType()),
     T.StructField("ref", T.StringType()),
 ])
 
 _PARTIAL_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType()),
     T.StructField("page", T.IntegerType()),
-    T.StructField("leading_cont", T.BooleanType()),
-    T.StructField("first_kind", T.StringType()),
-    T.StructField("records", T.ArrayType(SPAN_STRUCT)),  # offset unused here
-    T.StructField("md", T.StringType()),
-    T.StructField("table_caps", T.ArrayType(_CAP_STRUCT)),
-    T.StructField("figure_caps", T.ArrayType(_CAP_STRUCT)),
+    T.StructField("ordered", T.ArrayType(_ORDERED_STRUCT)),
+    T.StructField("media", T.ArrayType(_MEDIA_STRUCT)),
 ])
 
 
@@ -152,7 +156,12 @@ def _extract_arrow(it):
 
 
 def _extract_page_partial(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel for one (doc_id, page) group of exploded spans."""
+    """applyInPandas kernel for one (doc_id, page) group of exploded spans:
+    the page-local half only (classification + XY-cut via core.prepare_page
+    — the expensive work, embarrassingly parallel). The cross-page fold
+    happens in _stitch_doc, so kind inheritance across page boundaries
+    (a page opening as the continuation of a caption/equation, the orphan-
+    caption drop quirk) is exact by construction — no boundary heuristics."""
     doc_id = pdf["doc_id"].iloc[0]
     page = int(pdf["page"].iloc[0])
     pdf = pdf.sort_values("idx")
@@ -161,62 +170,32 @@ def _extract_page_partial(pdf: pd.DataFrame) -> pd.DataFrame:
         for k, t, m, o, i in zip(pdf["kind"], pdf["text"], pdf["media_ref"],
                                  pdf["offset"], pdf["idx"])
     ]
-    state = core.ExtractState()
-    if page > 0:
-        # sentinel "previous span exists on an earlier page": the boundary
-        # rule (core.is_new_line) only consults x_rel when pages differ.
-        state.prev_page, state.prev_y1, state.prev_kind = -1, 0, None
-    core.extract_page(state, page, spans)
-
-    leading_cont, first_kind = False, ""
-    if page > 0 and state.records:
-        # did the page open with a body continuation? (then is_new_line was
-        # False for its first ordered body span → no separator was emitted and
-        # the record must be merged into the previous page's last record)
-        first_kind = state.records[0][0]
-        leading_cont = state.opened_with_continuation is True
+    ordered, media = core.prepare_page(spans)
     return pd.DataFrame([{
         "doc_id": doc_id, "page": page,
-        "leading_cont": leading_cont, "first_kind": first_kind,
-        "records": [{"kind": k, "text": t, "media_ref": m, "offset": 0}
-                    for k, t, m in state.records],
-        "md": "".join(state.markdown),
-        "table_caps": [{"cap": c, "ref": r} for c, r in state.table_caps],
-        "figure_caps": [{"cap": c, "ref": r} for c, r in state.figure_caps],
+        "ordered": [{"kind": s.kind, "text": s.text, "y1": s.y1, "x1": s.x1,
+                     "x0": x0} for s, x0 in ordered],
+        "media": [{"kind": m.kind, "ref": m.media_ref} for m in media],
     }])
 
 
 def _stitch_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: stitch per-page partials into the doc result."""
+    """applyInPandas kernel: run the golden fold (core.fold_page) over the
+    per-page prepared results in page order. Sequential per doc but cheap —
+    O(spans) string work; the parallel-expensive parts already ran."""
     pdf = pdf.sort_values("page")
     doc_id = pdf["doc_id"].iloc[0]
-    records: list[tuple[str, str, str]] = []
-    md_parts: list[str] = []
-    table_caps: list[tuple[str, str]] = []
-    figure_caps: list[tuple[str, str]] = []
-    first = True
+    state = core.ExtractState()
     for row in pdf.itertuples(index=False):
-        recs = [(r["kind"], r["text"], r["media_ref"]) for r in row.records]
-        md = row.md
-        if row.leading_cont and recs:
-            if first or not records:
-                # the doc actually starts here → the boundary span is a real
-                # new_line=True: restore the separator the partial omitted
-                sep = C.SEP_TITLE if row.first_kind == "title" else C.SEP_PARA
-                md = sep + md
-                records.extend(recs)
-            else:
-                k, t, m = records[-1]
-                records[-1] = (k, t + recs[0][1], m)
-                records.extend(recs[1:])
-        else:
-            records.extend(recs)
-        md_parts.append(md)
-        table_caps.extend((c["cap"], c["ref"]) for c in row.table_caps)
-        figure_caps.extend((c["cap"], c["ref"]) for c in row.figure_caps)
-        first = False
-    state = core.ExtractState(records=records, markdown=md_parts,
-                              table_caps=table_caps, figure_caps=figure_caps)
+        page = int(row.page)
+        ordered = [
+            (core.Span(o["kind"], o["text"], "", page, o["y1"], o["x1"], i),
+             o["x0"])
+            for i, o in enumerate(row.ordered)
+        ]
+        media = [core.Span(m["kind"], "", m["ref"], page, 0, 0, 0)
+                 for m in row.media]
+        core.fold_page(state, page, ordered, media)
     recs, md = core.finish_document(state)
     return pd.DataFrame([{
         "doc_id": doc_id,
@@ -249,13 +228,14 @@ def extract_documents(
 
     small_out = small.mapInArrow(_extract_arrow, OUTPUT_SCHEMA)
 
+    off = F.coalesce(F.col("s.offset"), F.lit(0))  # null geometry ≡ origin
     exploded = (
         big.select("doc_id", F.posexplode("spans").alias("idx", "s"))
         .select(
             "doc_id", "idx",
             F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
-            F.col("s.media_ref").alias("media_ref"), F.col("s.offset").alias("offset"),
-            (F.col("s.offset") / F.lit(C.OFFSET_PAGE)).cast("int").alias("page"),
+            F.col("s.media_ref").alias("media_ref"), off.alias("offset"),
+            (off / F.lit(C.OFFSET_PAGE)).cast("int").alias("page"),
         )
     )
     partials = exploded.groupBy("doc_id", "page").applyInPandas(

@@ -47,3 +47,36 @@ def test_salted_path_matches_unsalted(docs_df, oracle):
     for doc_id, (recs, md) in oracle.items():
         assert got[doc_id][0] == recs, f"salted span mismatch in {doc_id}"
         assert got[doc_id][1] == md, f"salted markdown mismatch in {doc_id}"
+
+
+def test_salted_path_cross_page_caption_boundary(spark):
+    """A page opening as the continuation of a page that ended in a caption
+    (or equation) inherits that kind across the page boundary; the salted
+    path must reproduce the oracle's fold exactly — including the faithful
+    orphan-caption drop (a caption continuation on a media-less page is
+    discarded, reference predict/pdf2markdown.py:64-150 surplus groups)."""
+    from pyspark.sql import types as T
+
+    from ch_pdf_parse_spark import core
+    from ch_pdf_parse_spark.pipeline import SPAN_STRUCT, extract_documents
+
+    P = core.pack_offset
+    schema = T.StructType([T.StructField("doc_id", T.StringType()),
+                           T.StructField("spans", T.ArrayType(SPAN_STRUCT))])
+    rows = [
+        # page 0 ends with a figure caption; page 1 opens as a continuation
+        ("cap_boundary", [("text", "正文内容正文内容", "", P(0, 300, 62)),
+                          ("unlabeled", "图1 题注", "", P(0, 620, 62)),
+                          ("figure", "", "f1", P(0, 400, 100)),
+                          ("text", "次页正文", "", P(1, 300, 62))]),
+        # page 0 ends with an equation; page 1 opens as a continuation
+        ("eq_boundary", [("equation", "x", "", P(0, 500, 62)),
+                         ("text", "续行", "", P(1, 300, 62))]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    # salt_threshold=1 forces the page-salted path for every doc
+    got = {r["doc_id"]: ([tuple(s) for s in r["spans"]], r["markdown"])
+           for r in extract_documents(df, salt_threshold=1).collect()}
+    want = {d: (list(core.extract_document(s)[0]),
+                core.extract_document(s)[1]) for d, s in rows}
+    assert got == want
