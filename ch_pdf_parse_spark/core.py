@@ -73,15 +73,19 @@ def derive_box(kind: str, text: str, x1: int, y1: int) -> tuple[int, int, int, i
 
 
 def classify_kind(text: str, page: int, y1: int) -> str:
+    # ASCII digits only ("0" <= c <= "9"), never str.isdigit(): isdigit also
+    # accepts full-width digits (１) and superscripts (²), which would
+    # silently diverge from the relational twin's rlike('[0-9]') and the
+    # DuckDB oracles' regexes.
     if text == C.EQUATION_TEXT:
         return "equation"
-    if text[:1] == "图" and text[1:2].isdigit():
+    if text[:1] == "图" and "0" <= text[1:2] <= "9":
         return "figure_caption"
-    if text[:1] == "表" and text[1:2].isdigit():
+    if text[:1] == "表" and "0" <= text[1:2] <= "9":
         return "table_caption"
     if text[:1] == "[":
         i = 1
-        while i < len(text) and text[i].isdigit():
+        while i < len(text) and "0" <= text[i] <= "9":
             i += 1
         if i > 1 and i < len(text) and text[i] == "]":
             return "reference"

@@ -45,18 +45,19 @@ _KY = _KX * 1024      # y1 slot
 
 
 def _classify(text: str, page: int, y1: int) -> str:
-    # mirror of core.classify_kind (kept inline-cheap; first-char dispatch)
+    # mirror of core.classify_kind (kept inline-cheap; first-char dispatch).
+    # ASCII digits only — see core.classify_kind for why not str.isdigit()
     if text == _EQ:
         return "equation"
     c0 = text[:1]
-    if c0 == "图" and text[1:2].isdigit():
+    if c0 == "图" and "0" <= text[1:2] <= "9":
         return "figure_caption"
-    if c0 == "表" and text[1:2].isdigit():
+    if c0 == "表" and "0" <= text[1:2] <= "9":
         return "table_caption"
     if c0 == "[":
         i = 1
         n = len(text)
-        while i < n and text[i].isdigit():
+        while i < n and "0" <= text[i] <= "9":
             i += 1
         if i > 1 and i < n and text[i] == "]":
             return "reference"

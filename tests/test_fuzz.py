@@ -18,7 +18,10 @@ from ch_pdf_parse_spark.relational import extract_documents_relational
 KINDS = ["text", "title", "reference", "figure_caption", "table_caption",
          "figure", "table", "equation", "unlabeled", "banana", "", None]
 TEXT_POOL = ["图1 题注", "表2 说明", "[3]引用", "摘要内容", "关键词抽取",
-             "正文内容正文内容", "续行文字", "x", "", None, "###equation"]
+             "正文内容正文内容", "续行文字", "x", "", None, "###equation",
+             # non-ASCII digits: str.isdigit() accepts these, the classifier
+             # must NOT (ASCII-pinned across all engines)
+             "图１ 全角", "表² 上标", "[１]全角引用"]
 
 
 def _rand_doc(rng: random.Random, doc_id: str):
