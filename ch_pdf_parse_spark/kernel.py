@@ -38,10 +38,16 @@ _SEP_MEDIA = C.SEP_MEDIA
 _PAGE_SEP = C.PAGE_SEP
 _UNMATCHED = C.UNMATCHED_CAPTION
 
-# composite leaf-sort key multipliers: y1 < 1000, x1 < 10000 (constants.py
-# offset packing), local index < multiplier guard below
-_KX = 16_384          # > max x1 of any derived box left edge
-_KY = _KX * 1024      # y1 slot
+# composite leaf-sort key multipliers for (y1, x1, idx) lexicographic order.
+# Slot widths come from the offset packing bounds (constants.py): any int32
+# offset decodes to y1 = (o % 10^7)//10^4 <= 999 and x1 = o % 10^4 <= 9999,
+# so the x1 slot must hold 10_000 values — NOT 1024 (an earlier 1024-wide
+# slot let x1*KX spill into the y1 slot and inverted reading order whenever
+# a leaf mixed x1 >= 1024 with differing y1). The idx slot holds 2^24 spans
+# per document, far above the salting threshold.
+_KI = 1 << 24         # idx slot (spans per doc)
+_KX = _KI             # x1 multiplier
+_KY = _KI * 10_000    # y1 multiplier
 
 
 def _classify(text: str, page: int, y1: int) -> str:

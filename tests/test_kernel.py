@@ -47,3 +47,19 @@ def test_kernel_pathological():
     ]
     for spans in cases:
         assert _run_kernel(spans) == _run_core(spans)
+
+
+def test_leaf_sort_key_wide_x_band():
+    """Regression: the composite leaf-sort key must stay lexicographic in
+    (y1, x1, idx) for the FULL packed x1 range (0..9999). An earlier
+    1024-wide x1 slot let x1*KX spill into the y1 slot, inverting reading
+    order in any leaf that mixed x1 >= 1024 with differing y1 — needs a
+    band of spans bridging a wide x range so no x-cut separates them."""
+    spans = [("text", "桥接桥接桥接桥接桥接", "", core.pack_offset(0, 1, x))
+             for x in range(700, 1801, 50)]
+    spans.append(("text", "甲先来的先来的先来", "", core.pack_offset(0, 0, 1800)))
+    spans.append(("text", "乙后来的后来的后来", "", core.pack_offset(0, 2, 700)))
+    assert _run_kernel(spans) == _run_core(spans)
+    # the y=0 span must fold first (reading order is y-major inside a leaf)
+    recs, _ = _run_core(spans)
+    assert recs[0][1].startswith("甲先来的")
