@@ -56,9 +56,10 @@ TEXT_KINDS = (
     "text", "figure_caption", "table_caption", "reference",
 )
 MEDIA_KINDS = ("figure", "table", "equation")
-BODY_KINDS = (
-    "title", "text", "author", "abstract", "institution", "keyword", "reference",
-)
+# NB: there is deliberately NO body-kind whitelist — body is the DEFAULT
+# branch of the fold (any kind that isn't a caption or equation, including
+# unknown/empty kinds, core.extract_page fall-through); filters must use the
+# complement of CAPTION_KINDS + "equation".
 CAPTION_KINDS = ("figure_caption", "table_caption")
 UNLABELED = "unlabeled"
 IRRELEVANT = "header"   # segment_type 0: never emitted (ladder covers only 1-9)

@@ -158,9 +158,16 @@ def _xy_cut(x1s: list, y1s: list, x2s: list, y2s: list) -> list:
         for bi, band in enumerate(bands):
             for i in band:
                 band_of[i] = bi
+        # Decide the split point BEFORE any nested recursion: band_standalone
+        # recursion re-assigns band_of for spans of already-emitted bands (its
+        # own frames' y-splits), so a suffix scan interleaved with emission
+        # reads corrupted indices and can re-include emitted spans (core.xy_cut
+        # is immune — it builds a fresh band_of dict per frame). All reads of
+        # band_of happen here, while it still holds THIS frame's assignment.
         x1l, x2l, bol = x1s, x2s, band_of  # locals beat closure lookups in
-        for bi in range(len(bands) - 1):   # the O(bands*n) suffix scan below
-            band_standalone(bands[bi], region_x0)
+        split_rest = None                  # the O(bands*n) suffix scan below
+        n_standalone = len(bands)
+        for bi in range(len(bands) - 1):
             lo = bi + 1
             cur_hi = None
             has_gap = False
@@ -174,9 +181,13 @@ def _xy_cut(x1s: list, y1s: list, x2s: list, y2s: list) -> list:
                 if cur_hi is None or x2 > cur_hi:
                     cur_hi = x2
             if has_gap:
-                recurse([i for i in xo if bol[i] >= lo], region_x0)
-                return
-        band_standalone(bands[-1], region_x0)
+                split_rest = [i for i in xo if bol[i] >= lo]
+                n_standalone = lo
+                break
+        for bi in range(n_standalone):
+            band_standalone(bands[bi], region_x0)
+        if split_rest is not None:
+            recurse(split_rest, region_x0)
 
     recurse(list(range(n)), min(x1s))
     return order

@@ -17,32 +17,54 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 _CJK = r"[\x{4e00}-\x{9fff}]"
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
+# ---- shared classifier expressions (one definition per engine: the same
+# thresholds feed text_lang_id, text_quality_score AND the composed
+# pipeline_training_corpus — a drifted copy would silently desync the
+# composed query from its building blocks) -------------------------------
+
+
+def _lang_expr(text="text"):
+    """Spark column: 'zh' | 'en' | 'und' by character-class ratio."""
+    cjk = F.size(F.regexp_extract_all(text, F.lit(_CJK), F.lit(0)))
+    lat = F.size(F.regexp_extract_all(text, F.lit("[A-Za-z]"), F.lit(0)))
+    tot = F.greatest(F.length(text), F.lit(1))
+    return (F.when(cjk * 1.0 / tot > 0.3, "zh")
+            .when(lat * 1.0 / tot > 0.5, "en")
+            .otherwise("und"))
+
+
+def _lang_sql(text="text"):
+    return (f"CASE WHEN len(regexp_extract_all({text}, '{_CJK}')) * 1.0"
+            f" / greatest(length({text}), 1) > 0.3 THEN 'zh'"
+            f" WHEN len(regexp_extract_all({text}, '[A-Za-z]')) * 1.0"
+            f" / greatest(length({text}), 1) > 0.5 THEN 'en'"
+            f" ELSE 'und' END")
+
+
+def _stop_ratio_expr(lcol="l"):
+    """Spark column: stopword fraction of a token-array SQL expression
+    (``lcol`` may be a column name or any array-typed SQL expression)."""
+    stop_in = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return (F.size(F.expr(f"filter({lcol}, x -> x IN ({stop_in}))")) * 1.0
+            / F.greatest(F.size(F.expr(lcol)), F.lit(1)))
+
+
+def _stop_ratio_sql(lcol="l"):
+    return (f"len(list_filter({lcol}, x -> x IN {_STOPWORDS})) * 1.0"
+            f" / greatest(len({lcol}), 1)")
+
 
 @register(
     "text_lang_id",
     f"""
-    SELECT doc_id,
-           CASE WHEN len(regexp_extract_all(text, '{_CJK}')) * 1.0
-                     / greatest(length(text), 1) > 0.3 THEN 'zh'
-                WHEN len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
-                     / greatest(length(text), 1) > 0.5 THEN 'en'
-                ELSE 'und' END AS lang_pred
+    SELECT doc_id, {_lang_sql("text")} AS lang_pred
     FROM documents
     """,
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID by character-class n-gram heuristic (CJK vs latin ratio)."""
     d = _t(spark, sf_dir, "documents")
-    cjk = F.size(F.regexp_extract_all("text", F.lit(_CJK), F.lit(0)))
-    lat = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]"), F.lit(0)))
-    tot = F.greatest(F.length("text"), F.lit(1))
-    return d.select(
-        "doc_id",
-        F.when(cjk * 1.0 / tot > 0.3, "zh")
-        .when(lat * 1.0 / tot > 0.5, "en")
-        .otherwise("und")
-        .alias("lang_pred"),
-    )
+    return d.select("doc_id", _lang_expr("text").alias("lang_pred"))
 
 
 @register(
@@ -53,8 +75,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            length(text) AS n_chars2,
            len(l) AS n_tokens,
            round(length(text) * 1.0 / greatest(len(l), 1), 4) AS avg_tok_len,
-           round(len(list_filter(l, x -> x IN {_STOPWORDS})) * 1.0
-                 / greatest(len(l), 1), 4) AS stopword_ratio,
+           round({_stop_ratio_sql("l")}, 4) AS stopword_ratio,
            round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0
                  / greatest(length(text), 1), 4) AS punct_ratio
     FROM t
@@ -66,14 +87,12 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", F.split("text", " ").alias("l"))
     ntok = F.greatest(F.size("l"), F.lit(1))
-    stop_in = ", ".join(f"'{w}'" for w in _STOPWORDS)
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars2"),
         F.size("l").alias("n_tokens"),
         F.round(F.length("text") * 1.0 / ntok, 4).alias("avg_tok_len"),
-        F.round(F.size(F.expr(f"filter(l, x -> x IN ({stop_in}))")) * 1.0 / ntok, 4)
-        .alias("stopword_ratio"),
+        F.round(_stop_ratio_expr("l"), 4).alias("stopword_ratio"),
         F.round(
             F.size(F.expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)")) * 1.0
             / F.greatest(F.length("text"), F.lit(1)), 4,
@@ -245,14 +264,8 @@ def text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT doc_id, text,
              len(string_split(text, ' ')) AS n_tokens,
-             len(list_filter(string_split(text, ' '),
-                             x -> x IN {_STOPWORDS})) * 1.0
-               / greatest(len(string_split(text, ' ')), 1) AS stop_ratio,
-             CASE WHEN len(regexp_extract_all(text, '{_CJK}')) * 1.0
-                       / greatest(length(text), 1) > 0.3 THEN 'zh'
-                  WHEN len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
-                       / greatest(length(text), 1) > 0.5 THEN 'en'
-                  ELSE 'und' END AS lang
+             {_stop_ratio_sql("string_split(text, ' ')")} AS stop_ratio,
+             {_lang_sql("text")} AS lang
       FROM corpus),
     filtered AS (
       SELECT * FROM scored
@@ -283,20 +296,11 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = base.unionByName(
         base.where(F.col("doc_id") % 13 == 0)
         .select((F.col("doc_id") + 500000).alias("doc_id"), "text"))
-    l = F.split("text", " ")
-    ntok = F.size(l)
-    stop_in = ", ".join(f"'{w}'" for w in _STOPWORDS)
-    cjk = F.size(F.regexp_extract_all("text", F.lit(_CJK), F.lit(0)))
-    lat = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]"), F.lit(0)))
-    tot = F.greatest(F.length("text"), F.lit(1))
     scored = corpus.select(
         "doc_id", "text",
-        ntok.alias("n_tokens"),
-        (F.size(F.expr(f"filter(split(text, ' '), x -> x IN ({stop_in}))"))
-         * 1.0 / F.greatest(ntok, F.lit(1))).alias("stop_ratio"),
-        F.when(cjk * 1.0 / tot > 0.3, "zh")
-        .when(lat * 1.0 / tot > 0.5, "en")
-        .otherwise("und").alias("lang"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        _stop_ratio_expr("split(text, ' ')").alias("stop_ratio"),
+        _lang_expr("text").alias("lang"),
     )
     filtered = scored.where(
         (F.col("lang") != "und") & (F.col("n_tokens") >= 5)

@@ -235,7 +235,9 @@ def extract_documents(
             "doc_id", "idx",
             F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
             F.col("s.media_ref").alias("media_ref"), off.alias("offset"),
-            (off / F.lit(C.OFFSET_PAGE)).cast("int").alias("page"),
+            # floor, not cast-truncation: a (corrupt) negative offset must
+            # group under the same page that unpack_offset/np.divmod derive
+            F.floor(off / F.lit(C.OFFSET_PAGE)).cast("int").alias("page"),
         )
     )
     partials = exploded.groupBy("doc_id", "page").applyInPandas(

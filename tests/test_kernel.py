@@ -63,3 +63,38 @@ def test_leaf_sort_key_wide_x_band():
     # the y=0 span must fold first (reading order is y-major inside a leaf)
     recs, _ = _run_core(spans)
     assert recs[0][1].startswith("甲先来的")
+
+
+def test_band_of_not_corrupted_by_nested_recursion():
+    """Regression (confirmed bug): the kernel's shared band_of list was
+    re-assigned by nested recursion (band_standalone's own y-splits) while
+    the outer frame's suffix scan still read it, re-including an
+    already-emitted span — 13 outputs for 12 boxes, duplicated text in
+    records and markdown. Layout: two y-bands, no global x-gap; band 0's
+    left column has an internal y-gap, band 1 has a column gutter."""
+    boxes = ([(0, 100, 50, 112), (0, 140, 50, 152)]
+             + [(100, y, 300, y + 12) for y in range(100, 151, 10)]
+             + [(40, 300, 95, 312), (40, 320, 95, 332),
+                (200, 300, 250, 312), (200, 320, 250, 332)])
+    k = kernel._xy_cut([b[0] for b in boxes], [b[1] for b in boxes],
+                       [b[2] for b in boxes], [b[3] for b in boxes])
+    c = core.xy_cut(boxes)
+    assert len(k) == len(boxes)
+    assert k == c
+
+
+def test_xy_cut_randomized_geometry_stress():
+    """Dense-coordinate randomized stress: the optimized kernel XY-cut must
+    equal core.xy_cut exactly (order AND region_x0) on arbitrary overlapping
+    layouts — the geometry class the fixture generator never produces."""
+    rng = random.Random(99)
+    for _ in range(1500):
+        n = rng.randint(1, 18)
+        boxes = []
+        for _ in range(n):
+            x1 = rng.randint(0, 400)
+            y1 = rng.randint(0, 400)
+            boxes.append((x1, y1, x1 + rng.randint(5, 120), y1 + 12))
+        k = kernel._xy_cut([b[0] for b in boxes], [b[1] for b in boxes],
+                           [b[2] for b in boxes], [b[3] for b in boxes])
+        assert k == core.xy_cut(boxes)
