@@ -59,10 +59,22 @@ def _span_tuple(d: dict) -> tuple:
             int(d.get("offset", 0)))
 
 
+_PENDING = -1   # total_pages not yet known
+_DONE = -2      # tombstone: document already emitted
+
+
 def _assemble(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     doc_id = key[0]
     if state.exists:
         total, acc = state.get
+        if total == _DONE:
+            # already emitted — a page row redelivered AFTER completion must
+            # be ignored, not accumulate fresh state (removing the state on
+            # completion left a zombie partial entry, holding page payloads
+            # forever, whenever an at-least-once upstream redelivered late).
+            # The tombstone is a few bytes per completed doc; a deployment
+            # that needs it bounded adds a GroupStateTimeout to expire it.
+            return
         chunks = json.loads(acc)
         total = None if total < 0 else total
     else:
@@ -80,11 +92,11 @@ def _assemble(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         for pg in sorted(chunks, key=int):
             spans.extend(json.loads(chunks[pg]))
         recs, md = core.extract_document([_span_tuple(d) for d in spans])
-        state.remove()
+        state.update((_DONE, ""))
         yield pd.DataFrame(
             [{"doc_id": doc_id, "n_spans": len(recs), "markdown": md}])
     else:
-        state.update((-1 if total is None else total,
+        state.update((_PENDING if total is None else total,
                       json.dumps(chunks, ensure_ascii=False)))
 
 

@@ -96,3 +96,73 @@ def test_duplicate_page_delivery_is_ignored(spark, corpus_dir, tmp_path):
     want = {(r["doc_id"], r["markdown"])
             for r in extract_documents(docs).select("doc_id", "markdown").collect()}
     assert got == want
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _assemble as a pure function."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+
+def test_assemble_kernel_property_random_delivery():
+    """Pure-Python property: for random docs, ANY delivery schedule of page
+    rows (random batch partitioning, random order, random duplicates) emits
+    the document exactly once, with output equal to the batch oracle."""
+    import json
+    import random
+
+    import pandas as pd
+
+    from ch_pdf_parse_spark import core, fixtures
+    from ch_pdf_parse_spark.streaming.stateful import _assemble
+
+    rng = random.Random(7)
+    for di in range(25):
+        doc = fixtures.generate_document(di)
+        spans = list(doc.spans)
+        want_recs, want_md = core.extract_document(spans)
+
+        by_page = {}
+        for k, t, m, o in spans:
+            by_page.setdefault(o // core.C.OFFSET_PAGE, []).append(
+                {"kind": k, "text": t, "media_ref": m, "offset": o})
+        rows = [(pg, len(by_page), json.dumps(chunk, ensure_ascii=False))
+                for pg, chunk in by_page.items()]
+        # duplicates + shuffle + random batch partitioning
+        rows += [rng.choice(rows) for _ in range(rng.randint(0, 3))]
+        rng.shuffle(rows)
+        batches = []
+        i = 0
+        while i < len(rows):
+            j = i + rng.randint(1, max(1, len(rows) - i))
+            batches.append(rows[i:j])
+            i = j
+
+        state = _FakeState()
+        emitted = []
+        for batch in batches:
+            pdf = pd.DataFrame(batch, columns=["page", "total_pages",
+                                               "spans_json"])
+            emitted.extend(_assemble((doc.doc_id,), iter([pdf]), state))
+        assert len(emitted) == 1, f"doc {di}: emitted {len(emitted)} times"
+        out = emitted[0].iloc[0]
+        assert out["markdown"] == want_md
+        assert out["n_spans"] == len(want_recs)
+        # completion leaves only the tombstone (no zombie page payloads even
+        # when a duplicate row arrived after the doc emitted)
+        assert state.get[0] == -2 and state.get[1] == ""
