@@ -168,14 +168,17 @@ def main() -> None:
             continue
         # Steal spikes can slow an ENTIRE session's runs uniformly, which
         # best-of-N inside one session cannot detect. So each side is
-        # measured in TWO independent sessions unconditionally and keeps its
-        # best wall. The protocol is fixed (never conditioned on the ratio —
-        # a stop-on-pass rule would bias the recorded efficiency upward);
-        # sessions alternate hi/lo so a steal window hits both sides alike.
+        # measured in THREE independent sessions unconditionally and keeps
+        # its best wall (noise on this box only ever ADDS time, so the min
+        # converges to the true wall from above — an unbiased, fixed
+        # protocol, never conditioned on the measured ratio; a stop-on-pass
+        # rule would bias the recorded efficiency upward). Sessions
+        # alternate hi/lo so a steal window hits both sides alike.
         t_hi = run_extraction(hi, path, runs=runs)
         t_lo = run_extraction(lo, path, runs=runs)
-        t_hi = min(t_hi, run_extraction(hi, path, runs=2))
-        t_lo = min(t_lo, run_extraction(lo, path, runs=2))
+        for _ in range(2):
+            t_hi = min(t_hi, run_extraction(hi, path, runs=2))
+            t_lo = min(t_lo, run_extraction(lo, path, runs=2))
         thr_lo, thr_hi = nd / t_lo, nd / t_hi
         extras["scaling"][f"local[{lo}]->local[{hi}]@{nd}"] = {
             "n_docs": nd,
