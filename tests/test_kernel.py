@@ -94,7 +94,8 @@ def test_xy_cut_randomized_geometry_stress():
         for _ in range(n):
             x1 = rng.randint(0, 400)
             y1 = rng.randint(0, 400)
-            boxes.append((x1, y1, x1 + rng.randint(5, 120), y1 + 12))
+            boxes.append((x1, y1, x1 + rng.randint(5, 120),
+                          y1 + rng.choice([8, 12, 20, 40])))
         k = kernel._xy_cut([b[0] for b in boxes], [b[1] for b in boxes],
                            [b[2] for b in boxes], [b[3] for b in boxes])
         assert k == core.xy_cut(boxes)
