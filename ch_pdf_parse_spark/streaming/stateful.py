@@ -6,8 +6,10 @@ independently, out of order, across triggers. ``assemble_documents`` is the
 ``applyInPandasWithState`` operator for that shape: per-doc state in the
 streaming state store accumulates page payloads; the moment a document's
 page set is complete its extraction (core.extract_document — same golden
-semantics as the batch pipeline) is emitted exactly once and the state is
-dropped. Incomplete documents survive restarts via the checkpoint.
+semantics as the batch pipeline) is emitted exactly once and the page
+payloads are replaced by a few-byte completion tombstone (which absorbs
+late redeliveries; expirable via ``done_ttl``). Incomplete documents
+survive restarts via the checkpoint.
 
 This is the beyond-reference streaming story (the reference itself is
 strictly request/response batch, SURVEY.md §2.11): the batch job covers the
@@ -63,8 +65,12 @@ _PENDING = -1   # total_pages not yet known
 _DONE = -2      # tombstone: document already emitted
 
 
-def _assemble(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+def _assemble(key, pdfs: Iterator[pd.DataFrame], state: GroupState,
+              done_ttl: str | None = None):
     doc_id = key[0]
+    if getattr(state, "hasTimedOut", False):
+        state.remove()  # an expired completion tombstone
+        return
     if state.exists:
         total, acc = state.get
         if total == _DONE:
@@ -93,6 +99,8 @@ def _assemble(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
             spans.extend(json.loads(chunks[pg]))
         recs, md = core.extract_document([_span_tuple(d) for d in spans])
         state.update((_DONE, ""))
+        if done_ttl is not None:
+            state.setTimeoutDuration(done_ttl)
         yield pd.DataFrame(
             [{"doc_id": doc_id, "n_spans": len(recs), "markdown": md}])
     else:
@@ -100,17 +108,28 @@ def _assemble(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
                       json.dumps(chunks, ensure_ascii=False)))
 
 
-def assemble_documents(pages: DataFrame) -> DataFrame:
+def assemble_documents(pages: DataFrame,
+                       done_ttl: str | None = None) -> DataFrame:
     """Stateful page→document assembly over a streaming DataFrame of
     PAGE_ROW_SCHEMA rows. Emits one ASSEMBLED_SCHEMA row per document,
     exactly once, when all its pages have arrived (across micro-batches
-    and restarts)."""
+    and restarts). Completion leaves a few-byte tombstone in state so that
+    pages redelivered after emission are absorbed rather than accumulating
+    zombie partial state; pass ``done_ttl`` (e.g. ``"30 minutes"``) to
+    expire tombstones once the upstream's redelivery window has passed,
+    bounding state size on unbounded corpora."""
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if done_ttl
+               else GroupStateTimeout.NoTimeout)
+
+    def fn(key, pdfs, state):
+        return _assemble(key, pdfs, state, done_ttl)
+
     return pages.groupBy("doc_id").applyInPandasWithState(
-        _assemble,
+        fn,
         outputStructType=ASSEMBLED_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
@@ -121,7 +140,11 @@ def pages_of(docs: DataFrame) -> DataFrame:
         "doc_id", F.posexplode("spans").alias("idx", "s")
     ).select(
         "doc_id", "idx", "s",
-        (F.col("s.offset") / F.lit(C.OFFSET_PAGE)).cast("int").alias("page"),
+        # floor, not cast-truncation: corrupt negative offsets must group
+        # under the same page that unpack_offset/np.divmod derive (matches
+        # pipeline.py and relational.py)
+        F.floor(F.coalesce(F.col("s.offset"), F.lit(0)) / F.lit(C.OFFSET_PAGE))
+        .cast("int").alias("page"),
     )
     per_page = (
         spans.groupBy("doc_id", "page")

@@ -166,3 +166,42 @@ def test_assemble_kernel_property_random_delivery():
         # completion leaves only the tombstone (no zombie page payloads even
         # when a duplicate row arrived after the doc emitted)
         assert state.get[0] == -2 and state.get[1] == ""
+
+
+def test_done_ttl_expiry_removes_tombstone():
+    """With done_ttl set, completion schedules a timeout and the timed-out
+    callback clears the tombstone (bounded state on unbounded corpora)."""
+    import json
+
+    import pandas as pd
+
+    from ch_pdf_parse_spark import core, fixtures
+    from ch_pdf_parse_spark.streaming.stateful import _assemble
+
+    doc = fixtures.generate_document(3)
+    by_page = {}
+    for k, t, m, o in doc.spans:
+        by_page.setdefault(o // core.C.OFFSET_PAGE, []).append(
+            {"kind": k, "text": t, "media_ref": m, "offset": o})
+    rows = [(pg, len(by_page), json.dumps(chunk, ensure_ascii=False))
+            for pg, chunk in by_page.items()]
+
+    class _TtlState(_FakeState):
+        def __init__(self):
+            super().__init__()
+            self.ttl = None
+            self.hasTimedOut = False
+
+        def setTimeoutDuration(self, d):
+            self.ttl = d
+
+    state = _TtlState()
+    pdf = pd.DataFrame(rows, columns=["page", "total_pages", "spans_json"])
+    emitted = list(_assemble((doc.doc_id,), iter([pdf]), state, "30 minutes"))
+    assert len(emitted) == 1
+    assert state.get == (-2, "") and state.ttl == "30 minutes"
+
+    # the timeout fires: Spark invokes the function with no data rows
+    state.hasTimedOut = True
+    assert list(_assemble((doc.doc_id,), iter([]), state, "30 minutes")) == []
+    assert not state.exists
