@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..registry import register, _t
+from ..registry import exact_sum, register, _t
 
 
 @register(
@@ -84,7 +84,7 @@ def a_group_concat_empty_sep(spark, sf_dir):
       FROM t
     )
     SELECT user_id, session_id, count(*) AS n_events,
-           round(sum(value), 4) AS session_value
+           round(CAST(sum(value::DECIMAL(18,6)) AS DOUBLE), 4) AS session_value
     FROM s GROUP BY user_id, session_id
     """,
 )
@@ -104,7 +104,8 @@ def a_session_merge(spark, sf_dir):
         "session_id",
         F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     return s.groupBy("user_id", "session_id").agg(
-        F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        F.count("*").alias("n_events"),
+        F.round(exact_sum("value"), 4).alias("session_value"))
 
 
 @register(
@@ -291,7 +292,7 @@ def p_coalesce_default(spark, sf_dir):
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n,
-           round(sum(value), 4) AS total_value
+           round(CAST(sum(value::DECIMAL(18,6)) AS DOUBLE), 4) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -304,7 +305,7 @@ def a_windowed_events(spark, sf_dir):
     e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         e.groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n"), F.round(exact_sum("value"), 4).alias("total_value"))
         .select(F.col("window.start").alias("window_start"),
                 "event_type", "n", "total_value")
     )

@@ -46,9 +46,9 @@ BAND_BITS = 3  # 4 bands x 3 bits
 TOPK = 5
 
 
-def _planes() -> list[list[int]]:
+def _planes(n: int = N_PLANES) -> list[list[int]]:
     out = []
-    for p in range(N_PLANES):
+    for p in range(n):
         row = []
         for d in range(DIM):
             h = hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()
@@ -58,6 +58,12 @@ def _planes() -> list[list[int]]:
 
 
 PLANES = _planes()
+
+# dedup_embedding_cosine uses a wider signature (8 bands × 3 bits) than the
+# top-k ANN: near-dup detection must RECALL essentially every cos>0.95 pair
+# (P[miss | cos=0.95] = (1-0.899³)⁴ ≈ 0.6% at 4 bands vs ≈ 3e-5 at 8), while
+# top-k only needs good-enough neighbors. First 12 planes coincide with PLANES.
+N_PLANES_DEDUP = 24
 
 # ---- shared expression builders (kept textually parallel across engines) --
 
@@ -72,6 +78,8 @@ _SPARK_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc
 def cosine(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-vectorized cosine over two array<double> columns (one numpy
     matmul per batch — the hot-path scorer for all similarity operators)."""
+    if len(a) == 0:  # np.stack raises on an empty Arrow batch
+        return pd.Series([], dtype=np.float64)
     A, B = np.stack(a.to_numpy()), np.stack(b.to_numpy())
     num = np.einsum("ij,ij->i", A, B)
     den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(np.einsum("ij,ij->i", B, B))
@@ -90,15 +98,28 @@ def _duck_cos(a: str, b: str) -> str:
 
 
 _PLANES_NP = np.array(PLANES, dtype=np.float64)
+_PLANES_DEDUP_NP = np.array(_planes(N_PLANES_DEDUP), dtype=np.float64)
+
+
+def _sig_bits_impl(v: pd.Series, planes: np.ndarray) -> pd.Series:
+    if len(v) == 0:  # np.stack raises on an empty Arrow batch
+        return pd.Series([], dtype=object)
+    A = np.stack(v.to_numpy())
+    bits = (A @ planes.T >= 0).astype(np.int32)
+    return pd.Series(list(bits))
 
 
 @pandas_udf(ArrayType(IntegerType()))
 def _sig_bits(v: pd.Series) -> pd.Series:
     """N_PLANES sign bits per vector — one numpy matmul per Arrow batch
     (sign-margin analysis in the module docstring)."""
-    A = np.stack(v.to_numpy())
-    bits = (A @ _PLANES_NP.T >= 0).astype(np.int32)
-    return pd.Series(list(bits))
+    return _sig_bits_impl(v, _PLANES_NP)
+
+
+@pandas_udf(ArrayType(IntegerType()))
+def _sig_bits_dedup(v: pd.Series) -> pd.Series:
+    """N_PLANES_DEDUP sign bits — the high-recall signature for near-dup."""
+    return _sig_bits_impl(v, _PLANES_DEDUP_NP)
 
 
 def _duck_sig_bits(vcol: str) -> str:
@@ -109,10 +130,11 @@ def _duck_sig_bits(vcol: str) -> str:
     return f"[{', '.join(bits)}]"
 
 
-def _bands_from_bits(bits_expr: str, engine: str) -> list[str]:
-    """4 band keys, each packing BAND_BITS sign bits into an int."""
+def _bands_from_bits(bits_expr: str, engine: str,
+                     n_planes: int = N_PLANES) -> list[str]:
+    """Band keys, each packing BAND_BITS sign bits into an int."""
     bands = []
-    for b in range(N_PLANES // BAND_BITS):
+    for b in range(n_planes // BAND_BITS):
         idx = [b * BAND_BITS + r for r in range(BAND_BITS)]
         if engine == "spark":
             terms = " + ".join(f"element_at(sig, {i + 1}) * {1 << r}"
@@ -143,8 +165,10 @@ def _bands_from_bits(bits_expr: str, engine: str) -> list[str]:
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k (brute force): the ANN correctness baseline.
-    At scale: broadcast the query set, score map-side, per-query top-k via
-    window (or a TreeAggregate) — no all-pairs shuffle."""
+    The CORPUS is the streamed (build-free) side and the small QUERY set is
+    broadcast — scoring is map-side over corpus partitions, so the only wide
+    op is the per-query top-k window. Broadcasting the corpus instead would
+    OOM every executor at 100 TB (round-1 verdict item #3)."""
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "embeddings").select(
@@ -152,7 +176,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     scored = (
-        q.join(F.broadcast(e), F.col("vec_id") != F.col("query_id"))
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 cosine(F.col("qv"), F.col("v")).alias("c"))
     )
@@ -255,9 +279,48 @@ SQL["sim_ann_lsh"] = _ann_sql()
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine > 0.95). Brute-force pair generation
-    here (sf-scale); the LSH-bucketed candidate variant is sim_ann_lsh — at
-    100TB you compose: buckets → candidate pairs → exact cosine filter."""
+    """Embedding near-dup pairs (cosine > 0.95), LSH-bucketed: hyperplane
+    sign bits (8 bands × 3 bits) → band-bucket self-join candidates → exact
+    cosine re-rank. No all-pairs / broadcast-NLJ anywhere — candidates scale
+    with bucket width, not corpus² (round-1 verdict item #4). The DuckDB
+    oracle stays brute-force all-pairs, so the driver check also certifies
+    LSH recall is total on this corpus (P[miss | cos=0.95] ≈ 3e-5 per pair;
+    colinear injected dups share every band by construction); pytest keeps a
+    Spark brute-force twin as a second oracle."""
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_D.format(v="embedding")).alias("v"))
+    dups = base.where(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(v, x -> x * 0.5D)").alias("v"))
+    corpus = base.unionByName(dups)
+    s = corpus.withColumn("sig", _sig_bits_dedup(F.col("v")))
+    bands = _bands_from_bits("sig", "spark", n_planes=N_PLANES_DEDUP)
+    buckets = s.select(
+        "vec_id", "v",
+        F.posexplode(F.array(*[F.expr(b) for b in bands])).alias("band", "bkey"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    # score on the joined stream, dedupe multi-band hits on the scalar pair
+    # key (same rationale as sim_ann_lsh: never shuffle vectors as keys);
+    # cosine is deterministic per pair, so max() is pure dedup
+    scored = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+                cosine(F.col("a.v"), F.col("b.v")).alias("c"))
+        .where(F.col("c") > 0.95)
+    )
+    return (
+        scored.groupBy("vec_a", "vec_b").agg(F.max("c").alias("c"))
+        .select("vec_a", "vec_b", F.round("c", 2).alias("cos"))
+    )
+
+
+def dedup_embedding_cosine_bruteforce(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """All-pairs twin of dedup_embedding_cosine — TEST ORACLE ONLY (O(n²),
+    never the scale path); pytest asserts it equals the LSH-bucketed plan."""
     base = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_SPARK_D.format(v="embedding")).alias("v"))
     dups = base.where(F.col("vec_id") % 11 == 0).select(

@@ -279,7 +279,7 @@ def text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs,
            sum(n_copies) - count(*) AS n_dups_removed,
            sum(n_tokens) AS total_tokens,
-           round(avg(n_tokens), 2) AS avg_tokens
+           round(sum(n_tokens) * 1.0 / count(*), 2) AS avg_tokens
     FROM deduped GROUP BY lang
     """,
 )
@@ -317,5 +317,8 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"),
              (F.sum("n_copies") - F.count("*")).alias("n_dups_removed"),
              F.sum("n_tokens").alias("total_tokens"),
-             F.round(F.avg("n_tokens"), 2).alias("avg_tokens"))
+             # NOT F.avg: Spark's Average over ints accumulates in double, so
+             # round(avg) is partition-order-dependent (round-1 driver flake).
+             # Exact long sum / exact long count = one deterministic division.
+             F.round(F.sum("n_tokens") / F.count("*"), 2).alias("avg_tokens"))
     )

@@ -39,6 +39,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def exact_sum(col, scale: int = 6):
+    """Order-independent sum of a double column: round each addend to a
+    decimal once (deterministic per row), sum exactly, cast back.
+
+    ``round(sum(<double>))`` is partition-order-dependent — the accumulation
+    order of float64 addition changes with shuffle layout, so borderline
+    values flip the last rounded digit between runs and engines (the round-1
+    driver flaked exactly this way on a_session_merge). DuckDB twin:
+    ``CAST(sum(<col>::DECIMAL(18,{scale})) AS DOUBLE)``.
+    """
+    return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")
+
+
 def fixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synthetic interleaved-documents corpus scaled like sf_dir.
 
@@ -182,8 +195,10 @@ def p_page_bucket(spark, sf_dir):
     "a_window_cumsum",
     """
     SELECT event_id, user_id,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+           ROUND(CAST(SUM(value::DECIMAL(18,6))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+             AS running_value
     FROM events
     """,
 )
@@ -197,8 +212,12 @@ def a_window_cumsum(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # decimal addends: DuckDB evaluates windowed sums with a segment tree, so
+    # even an ORDER BY-pinned frame does not pin float accumulation order
     return _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+        "event_id", "user_id",
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+                .cast("double"), 4).alias("running_value"),
     )
 
 

@@ -43,6 +43,33 @@ def test_filter_and_pruning_reach_scan(docs_df):
     assert rs and rs.group(1) == "doc_id:string", plan  # spans column pruned
 
 
+def test_sim_topk_broadcasts_query_side(spark):
+    """The brute-force scorer must broadcast the small QUERY set and stream
+    the corpus (broadcasting the corpus OOMs at 100 TB — round-1 verdict)."""
+    from ch_pdf_parse_spark.operators.similarity import sim_topk_bruteforce
+
+    plan = _formatted(sim_topk_bruteforce(spark, "/root/testdata/sf0.001"))
+    m = re.search(r"BroadcastNestedLoopJoin Inner BuildRight", plan)
+    assert m, plan
+    # the subtree under BroadcastExchange must be the %97-filtered query set
+    tree = plan.split("\n\n")[0]
+    bx = re.search(r"BroadcastExchange \(\d+\)\n(?:.*\n)*?.*?Filter \((\d+)\)", tree)
+    assert bx, tree
+    detail = re.search(rf"\({bx.group(1)}\) Filter\n(?:.*\n)*?Condition : (.*)", plan)
+    assert detail and "% 97" in detail.group(1), plan
+
+
+def test_dedup_embedding_cosine_is_bucketed(spark):
+    """Near-dup cosine must join on LSH band keys — never an all-pairs
+    nested-loop/cartesian over the corpus (round-1 verdict item #4)."""
+    from ch_pdf_parse_spark.operators.similarity import dedup_embedding_cosine
+
+    plan = _formatted(dedup_embedding_cosine(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan), plan
+
+
 def test_small_dim_join_broadcasts(spark, docs_df):
     dim = spark.createDataFrame(
         [(f"doc_{i:06d}", i % 3) for i in range(10)], ["doc_id", "bucket"])
