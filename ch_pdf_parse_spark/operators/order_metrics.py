@@ -1,0 +1,158 @@
+"""Reading-order quality metrics and the pairwise-ranking order variant.
+
+The reference evaluates its reading-order head with rank-correlation metrics
+(Spearman/Kendall-tau imports in /root/reference/train/train_main.py:34-37 —
+the eval module itself is absent upstream) and ships a pairwise-comparison
+ranking head as an alternative to direct order scores
+(/root/reference/train/layoutlmv3_modeling.py:1804-1877). Both are pure
+window/join/agg math here:
+
+* ``rank_correlation`` — per-group Spearman rho + Kendall tau between two
+  orderings. All intermediates are exact integers (rank differences, pair
+  concordance counts); the only floats are two final single divisions, so the
+  result is bit-deterministic across engines and shuffle layouts.
+* ``m3b_pairwise_rank`` — reading order derived from pairwise wins (item i's
+  score = #opponents it precedes), verified against the DIRECT row_number
+  ranking: its DuckDB oracle is o_order_reversal's window expression, so the
+  driver hash proves the two formulations agree row-for-row.
+
+Scale: both self-joins are within-group (equi-key on the group column) and
+group sizes are bounded (segments per page / lineitems per order), so the
+O(n²) pair expansion is per-group constant work — the shuffle is one hash
+exchange on the group key, same as any groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..registry import register, _t
+
+
+def rank_correlation(df: DataFrame, group: str, x: str, y: str,
+                     tiebreak: str) -> DataFrame:
+    """Per-group Spearman rho and Kendall tau between the orderings induced
+    by ``x`` and ``y`` (ties broken deterministically by ``tiebreak``, so
+    both rankings are strict permutations).
+
+    rho = 1 - 6·Σd²/(n(n²-1)); tau = 2(C-D)/(n(n-1)). Groups with n < 2 get
+    NULL metrics (both denominators are 0 — correlation is undefined).
+
+    Determinism under duplicate rows: both rankings tie-break on one shared
+    strict row id (``rid``). Breaking each sort's ties independently would
+    let two rows tied in x but not y swap (rx, ry) pairings between engines
+    and shuffle layouts, silently changing Σd².
+    """
+    base = df.select(
+        F.col(group).alias("g"), F.col(x).alias("x"), F.col(y).alias("y"),
+        F.col(tiebreak).alias("tb"),
+    ).withColumn("rid", F.row_number().over(
+        Window.partitionBy("g").orderBy("x", "y", "tb")))
+    wx = Window.partitionBy("g").orderBy("x", "rid")
+    wy = Window.partitionBy("g").orderBy("y", "rid")
+    r = base.select(
+        "g",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    sp = r.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))).alias("d2"),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    # ordered pairs a.rx < b.rx: concordant iff b.ry > a.ry (no ties — strict
+    # permutations), so sum(±1) = C - D in one pass
+    kd = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.rx") < F.col("b.rx")))
+        .groupBy(F.col("a.g").alias("g"))
+        .agg(F.sum(F.when(F.col("b.ry") > F.col("a.ry"), 1).otherwise(-1)).alias("cd"))
+    )
+    n = F.col("n")
+    return (
+        sp.join(kd, "g", "left")
+        .select(
+            F.col("g").alias(group),
+            "n",
+            F.when(n >= 2, F.round(
+                1.0 - 6.0 * F.col("d2") / (n * (n * n - 1)), 6)).alias("spearman_rho"),
+            F.when(n >= 2, F.round(
+                2.0 * F.col("cd") / (n * (n - 1)), 6)).alias("kendall_tau"),
+        )
+    )
+
+
+@register(
+    "o_rank_correlation",
+    """
+    WITH base AS (
+      SELECT l_orderkey AS g, l_extendedprice AS x, l_quantity AS y,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice, l_quantity,
+                                         l_linenumber) AS rid
+      FROM lineitem),
+    r AS (
+      SELECT g,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, rid) AS rx,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY y, rid) AS ry
+      FROM base),
+    sp AS (SELECT g, count(*) AS n, sum((rx - ry) * (rx - ry)) AS d2
+           FROM r GROUP BY g),
+    kd AS (SELECT a.g, sum(CASE WHEN b.ry > a.ry THEN 1 ELSE -1 END) AS cd
+           FROM r a JOIN r b ON a.g = b.g AND a.rx < b.rx
+           GROUP BY a.g)
+    SELECT sp.g AS l_orderkey, sp.n,
+           CASE WHEN sp.n >= 2
+                THEN round(1.0 - 6.0 * d2 / (sp.n * (sp.n * sp.n - 1)), 6)
+           END AS spearman_rho,
+           CASE WHEN sp.n >= 2
+                THEN round(2.0 * cd / (sp.n * (sp.n - 1)), 6)
+           END AS kendall_tau
+    FROM sp LEFT JOIN kd ON kd.g = sp.g
+    """,
+)
+def o_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-quality metrics demo: how well does the price ordering agree
+    with the quantity ordering within each order — the exact agg the
+    reference's eval computes between predicted and gold reading order."""
+    return rank_correlation(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey", "l_extendedprice", "l_quantity", "l_linenumber")
+
+
+@register(
+    "m3b_pairwise_rank",
+    # the DIRECT ranking (o_order_reversal's expression): hash equality at the
+    # driver proves the pairwise formulation reproduces it row-for-row
+    """
+    SELECT l_orderkey, l_linenumber,
+           300 - ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+             AS order_score
+    FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
+    """,
+)
+def m3b_pairwise_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3b: the pairwise-comparison ranking variant (SURVEY §2.4;
+    layoutlmv3_modeling.py:1804-1877 scores every ordered segment pair and
+    ranks by win count). Item i's wins = #j it precedes; rank = n - wins;
+    order_score = 300 - rank — computed via within-group self-join + agg
+    instead of a direct window, and oracle-checked against the direct form.
+    Pairwise win-counting needs a strict comparator, so the demo ranks the
+    DISTINCT line numbers of each order (ties would turn wins into rank(),
+    not row_number())."""
+    base = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber").distinct()
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") != F.col("b.l_linenumber")), "left")
+    wins = pairs.groupBy(
+        F.col("a.l_orderkey").alias("l_orderkey"),
+        F.col("a.l_linenumber").alias("l_linenumber"),
+    ).agg(
+        # n==1 groups left-join to null → comparator null → otherwise(0)
+        F.sum(F.when(F.col("a.l_linenumber") < F.col("b.l_linenumber"), 1)
+              .otherwise(0)).alias("wins"))
+    n = F.count("*").over(Window.partitionBy("l_orderkey"))
+    return wins.select(
+        "l_orderkey", "l_linenumber",
+        (F.lit(300) - (n - F.col("wins"))).cast("long").alias("order_score"))

@@ -287,6 +287,42 @@ def p_coalesce_default(spark, sf_dir):
 
 
 @register(
+    "m_need_info_gate",
+    """
+    SELECT doc_id,
+           CASE WHEN NOT (doc_id % 5 <> 0) THEN 'masked'
+                WHEN text LIKE 'key %' AND doc_id % 5 <> 0 THEN 'keyword'
+                WHEN n_chars < 120 AND doc_id % 5 <> 0 THEN 'short'
+                ELSE 'text' END AS branch,
+           count(*) OVER (PARTITION BY
+             CASE WHEN NOT (doc_id % 5 <> 0) THEN 'masked'
+                  WHEN text LIKE 'key %' AND doc_id % 5 <> 0 THEN 'keyword'
+                  WHEN n_chars < 120 AND doc_id % 5 <> 0 THEN 'short'
+                  ELSE 'text' END) AS branch_n
+    FROM documents
+    """,
+)
+def m_need_info_gate(spark, sf_dir):
+    """P4: the need-info boolean gate as a when() ladder — every supervision
+    branch in the reference requires ``need-info == True`` alongside its kind
+    test, and gate-false rows fall to a masked branch
+    (train/preprocess.py:312,338,364,418,444,470 vs :547). ``need_info`` is
+    synthesized deterministically (doc_id % 5 <> 0) the way the fixture
+    corpus synthesizes its other annotation fields."""
+    d = _t(spark, sf_dir, "documents")
+    need_info = F.col("doc_id") % 5 != 0
+    branch = (
+        F.when(~need_info, "masked")
+        .when(F.col("text").like("key %") & need_info, "keyword")
+        .when((F.col("n_chars") < 120) & need_info, "short")
+        .otherwise("text")
+    )
+    return d.select(
+        "doc_id", branch.alias("branch"),
+        F.count("*").over(Window.partitionBy(branch)).alias("branch_n"))
+
+
+@register(
     "a_windowed_events",
     """
     SELECT date_trunc('hour', ts) AS window_start,

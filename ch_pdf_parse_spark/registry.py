@@ -350,6 +350,7 @@ def _load_operator_modules() -> None:
     from .operators import (  # noqa: F401
         dedup,
         multimodal,
+        order_metrics,
         relational_ops,
         similarity,
         text_analysis,

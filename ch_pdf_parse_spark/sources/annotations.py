@@ -112,7 +112,13 @@ def citation_labels(segments: DataFrame) -> DataFrame:
     """J3: citation-span labels — explode page-level ``position`` entries
     ``[annot_idx, start_char|-1, end_char, category]`` and equi-join them to
     their segment, with the char-range kept for the downstream interval
-    overlap against token offsets (train/preprocess.py:95-98,144-187)."""
+    overlap against token offsets (train/preprocess.py:95-98,144-187).
+
+    P4 gate: only ``need-info == True`` segments contribute supervision —
+    every training branch in the reference requires it
+    (train/preprocess.py:312,338,364,418,444,470) and ``need-info == False``
+    segments are mask-excluded (:547), so their citation positions never
+    become labels."""
     pos = (
         segments.select("doc_id", "page_id", F.explode("position").alias("p"))
         .select(
@@ -124,7 +130,8 @@ def citation_labels(segments: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    segs = segments.select("doc_id", "page_id", "seg_idx", "text", "kind")
+    segs = segments.where(F.col("need_info")).select(
+        "doc_id", "page_id", "seg_idx", "text", "kind")
     return pos.join(segs, ["doc_id", "page_id", "seg_idx"]).select(
         "doc_id", "page_id", "seg_idx", "kind", "text",
         "start_char", "end_char", "category",

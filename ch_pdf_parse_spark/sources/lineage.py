@@ -85,9 +85,27 @@ def run_with_lineage(
 
     os.makedirs(out_dir, exist_ok=True)
     # input identity from file-level metadata only (no data scan): catches
-    # appended/replaced part-files and a changed n_buckets across invocations
+    # appended/replaced part-files, files overwritten IN PLACE under the same
+    # names (size+mtime for locally statable files), and a changed n_buckets
+    files = sorted(docs.inputFiles())
+    if not files:
+        # createDataFrame/views have no backing files — their identity cannot
+        # be established, so a reused out_dir would silently pass the guard
+        # and extract against a stale _staged snapshot
+        raise ValueError(
+            "input DataFrame has no backing files (inputFiles() is empty); "
+            "resume identity cannot be established — write the input to "
+            "parquet/a table first")
+    file_meta = []
+    for f in files:
+        local = f[len("file:"):] if f.startswith("file:") else None
+        if local and os.path.exists(local):
+            st = os.stat(local)
+            file_meta.append([f, st.st_size, int(st.st_mtime)])
+        else:  # remote (hdfs/s3/...) — name-only identity
+            file_meta.append([f])
     sig = hashlib.sha256(json.dumps(
-        {"n_buckets": n_buckets, "files": sorted(docs.inputFiles())}
+        {"n_buckets": n_buckets, "files": file_meta}
     ).encode()).hexdigest()[:16]
     manifest = os.path.join(out_dir, "_manifest.json")
     if os.path.exists(manifest):

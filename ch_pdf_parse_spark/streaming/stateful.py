@@ -92,7 +92,10 @@ def _assemble(key, pdfs: Iterator[pd.DataFrame], state: GroupState,
             # delivery wins, duplicates are ignored (completion counts
             # DISTINCT pages, never raw rows)
             chunks.setdefault(str(int(pg)), sj)
-            total = int(tp)
+            # null total_pages = "total not yet known" (a feed may only know
+            # it on the last page); int(None/NaN) would crash the task
+            if tp is not None and not pd.isna(tp):
+                total = int(tp)
     if total is not None and len(chunks) >= total:
         spans = []
         for pg in sorted(chunks, key=int):
@@ -159,7 +162,18 @@ def pages_of(docs: DataFrame) -> DataFrame:
     )
     n_pages = spans.groupBy("doc_id").agg(
         F.countDistinct("page").cast("int").alias("total_pages"))
+    # docs with empty/null spans produce no posexplode rows — without a
+    # synthetic page the streaming assembly would silently never emit them
+    # while the batch pipeline emits (doc_id, [], ''); one empty page row
+    # keeps the two paths' coverage identical
+    empty = docs.where(F.col("spans").isNull() | (F.size("spans") == 0)).select(
+        "doc_id",
+        F.lit(0).cast("int").alias("page"),
+        F.lit(1).cast("int").alias("total_pages"),
+        F.lit("[]").alias("spans_json"),
+    )
     return (
         per_page.join(n_pages, "doc_id")
         .select("doc_id", "page", "total_pages", "spans_json")
+        .unionByName(empty)
     )

@@ -53,12 +53,21 @@ def main() -> None:
     if args.no_lineage:
         write_table(extract_documents(docs), args.output)
         computed = ["all"]
+        # parquet count() is footer-metadata only — no second data pass
+        n_docs = read_table(spark, args.output).count()
     else:
         computed = run_with_lineage(spark, docs, args.output,
                                     n_buckets=args.buckets,
                                     stage_input=not args.no_stage_input,
                                     parallelism=args.parallelism)
-    n_docs = docs.count()
+        # doc totals come from the lineage table (collected per bucket while
+        # extracting) — docs.count() here would be a full second input scan,
+        # i.e. another 10^12-row pass purely for a metrics line
+        from ch_pdf_parse_spark.sources.lineage import read_lineage
+
+        n_docs = (read_lineage(spark, args.output)
+                  .where("status = 'done'")
+                  .agg({"doc_count": "sum"}).collect()[0][0]) or 0
     wall = time.time() - t0
     print(json.dumps({
         "input": args.input, "output": args.output,

@@ -111,4 +111,8 @@ def test_citation_label_join(spark, annot_dir):
     segs = read_annotations(spark, annot_dir)
     labels = {(r["seg_idx"], r["category"]): (r["start_char"], r["end_char"])
               for r in citation_labels(segs).collect()}
-    assert labels == {(0, 1): (5, 8), (1, 2): (-1, 3)}
+    # P4: seg 1 of paper_a has need-info == False, so its position entry
+    # ([1, -1, 3, 2]) is mask-excluded from supervision
+    # (train/preprocess.py:547); variant B (need-info absent → True) has no
+    # position entries, so the gate must not invent labels for it either
+    assert labels == {(0, 1): (5, 8)}

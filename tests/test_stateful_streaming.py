@@ -98,6 +98,67 @@ def test_duplicate_page_delivery_is_ignored(spark, corpus_dir, tmp_path):
     assert got == want
 
 
+def test_empty_and_null_span_docs_assemble_like_batch(spark, corpus_dir,
+                                                      tmp_path):
+    """Docs with empty or null spans arrays must flow through pages_of →
+    assemble with the same coverage as the batch pipeline (they used to
+    vanish: posexplode emits no rows, so no page ever arrived)."""
+    src = str(tmp_path / "pages_empty")
+    out = str(tmp_path / "assembled_empty")
+    ckpt = str(tmp_path / "ckpt_empty")
+    os.makedirs(src)
+
+    base = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet")) \
+        .select("doc_id", "spans").limit(2)
+    extra = spark.createDataFrame(
+        [("doc_empty", []), ("doc_null", None)], base.schema)
+    docs = base.unionByName(extra)
+
+    pages_of(docs).write.mode("overwrite").parquet(os.path.join(src, "d1"))
+    _drain(spark, src + "/*", out, ckpt)
+    got = {(r["doc_id"], r["n_spans"], r["markdown"])
+           for r in spark.read.parquet(out).collect()}
+    want = {(r["doc_id"], len(r["spans"] or []), r["markdown"])
+            for r in extract_documents(docs)
+            .select("doc_id", "spans", "markdown").collect()}
+    assert {d for d, _, _ in got} == {d for d, _, _ in want}
+    assert ("doc_empty", 0, "") in got and ("doc_null", 0, "") in got
+
+
+def test_assemble_tolerates_null_total_pages():
+    """A feed that only knows total_pages on the final page sends NULL until
+    then — int(None) used to crash the task; 'not yet known' must behave
+    like _PENDING."""
+    import json
+
+    import pandas as pd
+
+    from ch_pdf_parse_spark import core, fixtures
+    from ch_pdf_parse_spark.streaming.stateful import _assemble
+
+    doc = fixtures.generate_document(5)
+    by_page = {}
+    for k, t, m, o in doc.spans:
+        by_page.setdefault(o // core.C.OFFSET_PAGE, []).append(
+            {"kind": k, "text": t, "media_ref": m, "offset": o})
+    want_recs, want_md = core.extract_document(list(doc.spans))
+    pages = sorted(by_page)
+    assert len(pages) >= 2, "fixture doc 5 should be multi-page"
+
+    state = _FakeState()
+    emitted = []
+    for i, pg in enumerate(pages):
+        tp = len(by_page) if i == len(pages) - 1 else None  # NULL until last
+        pdf = pd.DataFrame(
+            [(pg, tp, json.dumps(by_page[pg], ensure_ascii=False))],
+            columns=["page", "total_pages", "spans_json"])
+        # nullable int column arrives as float NaN through Arrow — mimic it
+        pdf["total_pages"] = pdf["total_pages"].astype("float64")
+        emitted.extend(_assemble((doc.doc_id,), iter([pdf]), state))
+    assert len(emitted) == 1
+    assert emitted[0].iloc[0]["markdown"] == want_md
+
+
 class _FakeState:
     """Minimal GroupState stand-in for driving _assemble as a pure function."""
 
