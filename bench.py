@@ -12,8 +12,9 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 Every run also measures the N→4N scaling pair (local[2] vs local[8], same
 input) and reports throughput at both plus scaling efficiency — the
 in-sandbox evidence for BASELINE.json's N→4N ≥ 0.8 criterion (no real
-cluster available; see BENCH/BASELINE.md). ``--scaling`` adds larger/full-box
-pairs (2→8 on the full corpus, 8→32 at 100k docs).
+cluster available; see BENCH/BASELINE.md). ``--scaling`` adds the larger
+pairs at 100k docs: 4→16 (high side exactly fills the 32-vCPU box) and
+8→32 (high side oversubscribes 2:1 — reported with that caveat).
 """
 
 from __future__ import annotations
@@ -161,7 +162,11 @@ def main() -> None:
     pairs = [(2, 8, corpus_path, n_docs, 3)]
     if scaling:
         sc_path, sc_docs = bench_corpus_dir(sf, n_docs=max(n_docs, 100_000))
-        pairs += [(8, 32, sc_path, sc_docs, 3)]
+        # 4->16: the largest N->4N pair whose high side still fits the box
+        # (local[16] = 16 JVM task threads + 16 Arrow python workers = the
+        # VM's 32 vCPUs exactly). 8->32 oversubscribes 2:1 by construction
+        # and reads ~0.6 regardless of the job — see BENCH/BASELINE.md.
+        pairs += [(4, 16, sc_path, sc_docs, 2), (8, 32, sc_path, sc_docs, 3)]
     extras["scaling"] = {}
     for lo, hi, path, nd, runs in pairs:
         if hi > CPUS:

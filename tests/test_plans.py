@@ -70,6 +70,18 @@ def test_dedup_embedding_cosine_is_bucketed(spark):
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan), plan
 
 
+def test_sim_ann_ivf_joins_on_cell(spark):
+    """IVF candidates come from an equi-join on the scalar cell id (cell
+    assignment is computed map-side in the UDF — vectors are never shuffled
+    under a ranking window, and there is no all-pairs fallback)."""
+    from ch_pdf_parse_spark.operators.similarity import sim_ann_ivf
+
+    plan = _formatted(sim_ann_ivf(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan), plan
+
+
 def test_small_dim_join_broadcasts(spark, docs_df):
     dim = spark.createDataFrame(
         [(f"doc_{i:06d}", i % 3) for i in range(10)], ["doc_id", "bucket"])

@@ -23,3 +23,20 @@ def test_lsh_dedup_equals_bruteforce(spark):
     want = _pairs(dedup_embedding_cosine_bruteforce(spark, SF_DIR))
     assert len(want) > 0
     assert got == want
+
+
+def test_ivf_cell_ranking_margins_dwarf_float_error(spark):
+    """The IVF cell ranking is engine-portable because every ranking decision
+    sits far above float64 accumulation error (~1e-13 for 64-term dots): pin
+    the minimum |dot gap| at the probe boundary (rank N_PROBE vs N_PROBE+1)
+    and at the assignment boundary (rank 1 vs 2) on the test corpus."""
+    import numpy as np
+
+    from ch_pdf_parse_spark.operators.similarity import _CENTROIDS_NP
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet").collect()
+    A = np.array([list(r.embedding) for r in emb], dtype=np.float64)
+    dots = np.sort(A @ _CENTROIDS_NP.T, axis=1)[:, ::-1]
+    assign_margin = float(np.min(dots[:, 0] - dots[:, 1]))
+    probe_margin = float(np.min(dots[:, 1] - dots[:, 2]))
+    assert min(assign_margin, probe_margin) > 1e-6, (assign_margin, probe_margin)

@@ -122,6 +122,29 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
     add("text_main_content", "partial (map-side) collect before the exchange",
         "partial_collect_list" in p)
 
+    # --- similarity: broadcast direction + bucketed candidates (round 2) --
+    p = formatted_plan(q["sim_topk_bruteforce"](spark, sf_dir))
+    plans["sim_topk_bruteforce"] = p
+    tree = p.split("\n\n")[0]
+    bx = re.search(r"BroadcastExchange \(\d+\)\n(?:.*\n)*?.*?Filter \((\d+)\)", tree)
+    det = re.search(rf"\({bx.group(1)}\) Filter\n(?:.*\n)*?Condition : (.*)", p) \
+        if bx else None
+    add("sim_topk_bruteforce", "QUERY set broadcast, corpus streamed",
+        bool(det and "% 97" in det.group(1)),
+        det.group(1)[:80] if det else "no broadcast-side filter found")
+
+    p = formatted_plan(q["dedup_embedding_cosine"](spark, sf_dir))
+    plans["dedup_embedding_cosine"] = p
+    add("dedup_embedding_cosine", "LSH band-bucket join (no all-pairs NLJ)",
+        "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+        and bool(re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p)))
+
+    p = formatted_plan(q["sim_ann_ivf"](spark, sf_dir))
+    plans["sim_ann_ivf"] = p
+    add("sim_ann_ivf", "cell equi-join, assignment map-side (no NLJ)",
+        "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+        and bool(re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p)))
+
     # --- composed pipeline: text never shuffles ---------------------------
     p = formatted_plan(q["pipeline_training_corpus"](spark, sf_dir))
     plans["pipeline_training_corpus"] = p
