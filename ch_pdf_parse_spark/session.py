@@ -36,7 +36,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # measured r2 on the 40k flagship: one Arrow batch usually covers a
+        # whole ~400-doc task, so this is NOT a big lever; 8192 keeps the
+        # small consistent edge (~5%) on unevenly-coalesced partitions while
+        # bounding batch memory (~30MB/worker at ~4KB/doc). 40000 regressed
+        # 30% (giant batches kill pipelining) — don't chase it higher.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         # heap must cover (concurrent scan tasks x reader-batch bytes): the
         # nested spans rows are wide, so a 32-way scan of an oversized-doc
