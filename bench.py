@@ -154,8 +154,9 @@ def main() -> None:
     # uncontended region of the box, which models a real cluster's N→4N
     # (each local-mode "core" = JVM task thread + Arrow python worker, so
     # local[8] already occupies ~16 hardware threads). ``--scaling`` adds
-    # the full-box 8→32 pair on ≥100k docs (slower; saturates the VM and
-    # under-reads — interpretation in BENCH/BASELINE.md).
+    # the ≥100k-doc pairs: 4→16 (high side exactly fills the 32-vCPU box)
+    # and 8→32 (2:1 oversubscribed — reads ~0.6 by construction;
+    # interpretation in BENCH/BASELINE.md).
     # Best-of-N per config to ride out noisy-neighbor steal spikes. The pair
     # runs on the full bench corpus: a run must be ≳20s at the high level or
     # fixed per-job costs (JVM+scan setup ~1.5s) dilute measured efficiency.

@@ -261,6 +261,19 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL["sim_ann_lsh"] = _ann_sql()
 
 
+def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ injected colinear dups (vec_id % 11, +100000 id, ×0.5) —
+    the near-dup workload shared by dedup_embedding_cosine AND its
+    brute-force test twin (one definition so the oracle always tests the
+    production operator's exact corpus)."""
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_D.format(v="embedding")).alias("v"))
+    dups = base.where(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(v, x -> x * 0.5D)").alias("v"))
+    return base.unionByName(dups)
+
+
 @register(
     "dedup_embedding_cosine",
     f"""
@@ -287,12 +300,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH recall is total on this corpus (P[miss | cos=0.95] ≈ 3e-5 per pair;
     colinear injected dups share every band by construction); pytest keeps a
     Spark brute-force twin as a second oracle."""
-    base = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(_SPARK_D.format(v="embedding")).alias("v"))
-    dups = base.where(F.col("vec_id") % 11 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.expr("transform(v, x -> x * 0.5D)").alias("v"))
-    corpus = base.unionByName(dups)
+    corpus = _dedup_corpus(spark, sf_dir)
     s = corpus.withColumn("sig", _sig_bits_dedup(F.col("v")))
     bands = _bands_from_bits("sig", "spark", n_planes=N_PLANES_DEDUP)
     buckets = s.select(
@@ -321,12 +329,7 @@ def dedup_embedding_cosine_bruteforce(spark: SparkSession,
                                       sf_dir: str) -> DataFrame:
     """All-pairs twin of dedup_embedding_cosine — TEST ORACLE ONLY (O(n²),
     never the scale path); pytest asserts it equals the LSH-bucketed plan."""
-    base = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(_SPARK_D.format(v="embedding")).alias("v"))
-    dups = base.where(F.col("vec_id") % 11 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.expr("transform(v, x -> x * 0.5D)").alias("v"))
-    corpus = base.unionByName(dups)
+    corpus = _dedup_corpus(spark, sf_dir)
     a, b = corpus.alias("a"), corpus.alias("b")
     pairs = a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),

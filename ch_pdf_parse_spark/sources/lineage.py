@@ -96,14 +96,23 @@ def run_with_lineage(
             "input DataFrame has no backing files (inputFiles() is empty); "
             "resume identity cannot be established — write the input to "
             "parquet/a table first")
+    from urllib.parse import unquote, urlparse
+
     file_meta = []
     for f in files:
-        local = f[len("file:"):] if f.startswith("file:") else None
+        # inputFiles() returns percent-encoded URIs ("file:/data/my%20corpus/
+        # part-0"); decode before stat or paths with spaces/non-ASCII silently
+        # fall back to name-only identity
+        u = urlparse(f)
+        local = unquote(u.path) if u.scheme in ("file", "") else None
         if local and os.path.exists(local):
             st = os.stat(local)
-            file_meta.append([f, st.st_size, int(st.st_mtime)])
+            # mtime_ns, not int(mtime): whole-second truncation misses
+            # same-size in-place overwrites within one second
+            file_meta.append([f, st.st_size, st.st_mtime_ns])
         else:  # remote (hdfs/s3/...) — name-only identity
             file_meta.append([f])
+    SIG_VERSION = 2  # v1 hashed bare names; v2 adds [size, mtime_ns]
     sig = hashlib.sha256(json.dumps(
         {"n_buckets": n_buckets, "files": file_meta}
     ).encode()).hexdigest()[:16]
@@ -111,6 +120,12 @@ def run_with_lineage(
     if os.path.exists(manifest):
         with open(manifest) as f:
             prev = json.load(f)
+        if prev.get("sig_version", 1) != SIG_VERSION:
+            raise ValueError(
+                f"{out_dir} holds a manifest written by an older engine "
+                f"version (sig_version {prev.get('sig_version', 1)} != "
+                f"{SIG_VERSION}); its identity cannot be compared — use a "
+                "fresh out_dir (or delete the old one to recompute)")
         if prev.get("sig") != sig:
             raise ValueError(
                 f"{out_dir} holds lineage/staging for a different input or "
@@ -118,7 +133,8 @@ def run_with_lineage(
                 "use a fresh out_dir or delete the old one")
     else:
         with open(manifest, "w") as f:
-            json.dump({"sig": sig, "n_buckets": n_buckets}, f)
+            json.dump({"sig": sig, "n_buckets": n_buckets,
+                       "sig_version": SIG_VERSION}, f)
 
     if stage_input:
         staged = os.path.join(out_dir, "_staged")

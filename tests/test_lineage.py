@@ -71,3 +71,47 @@ def test_parallel_buckets_match_serial(spark, docs_df, tmp_path):
     lin = L.read_lineage(spark, out_p).collect()
     assert {r["bucket"] for r in lin} == set(range(6))
     assert sum(r["doc_count"] for r in lin) == docs_df.count()
+
+
+def test_old_manifest_version_rejected_clearly(spark, docs_df, tmp_path):
+    """An out_dir checkpointed by the v1 signature (bare file names) must be
+    rejected as a VERSION mismatch, not misdiagnosed as 'different input'."""
+    import json
+
+    out = str(tmp_path / "out_oldver")
+    os.makedirs(out)
+    with open(os.path.join(out, "_manifest.json"), "w") as f:
+        json.dump({"sig": "deadbeefdeadbeef", "n_buckets": 4}, f)  # no sig_version
+    with pytest.raises(ValueError, match="older engine version"):
+        L.run_with_lineage(spark, docs_df, out, n_buckets=4)
+
+
+def test_inplace_overwrite_detected_via_stat(spark, tmp_path):
+    """Input files rewritten IN PLACE under the same names (size/mtime
+    change) must flip the manifest signature — with a percent-encoded local
+    path (space in the directory), exercising the URI decode."""
+    src = str(tmp_path / "my corpus")
+    docs = spark.createDataFrame(
+        [(f"d{i}", None) for i in range(8)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+    docs.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "out_inplace")
+
+    L.run_with_lineage(spark, spark.read.parquet(src), out, n_buckets=2)
+    # same names, new content: rewrite via a temp dir, then swap part files
+    import shutil
+
+    tmp2 = str(tmp_path / "regen")
+    spark.createDataFrame(
+        [(f"e{i}", None) for i in range(8)], docs.schema
+    ).coalesce(1).write.parquet(tmp2)
+    old_parts = sorted(p for p in os.listdir(src) if p.endswith(".parquet"))
+    new_parts = sorted(p for p in os.listdir(tmp2) if p.endswith(".parquet"))
+    shutil.copyfile(os.path.join(tmp2, new_parts[0]),
+                    os.path.join(src, old_parts[0]))
+    for crc in os.listdir(src):  # stale Hadoop checksums of the old bytes
+        if crc.endswith(".crc"):
+            os.remove(os.path.join(src, crc))
+    spark.catalog.refreshByPath(src)  # drop the cached file index/footers
+    with pytest.raises(ValueError, match="different input"):
+        L.run_with_lineage(spark, spark.read.parquet(src), out, n_buckets=2)

@@ -30,6 +30,20 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "BENCH", "PLANS.md")
 
 
+def broadcast_side_filter_condition(plan: str) -> str | None:
+    """The Condition of the first Filter under the first BroadcastExchange in
+    a formatted plan, or None — identifies WHICH side a join broadcasts
+    (shared by the audit and tests/test_plans.py so the two never drift)."""
+    tree = plan.split("\n\n")[0]
+    bx = re.search(r"BroadcastExchange \(\d+\)\n(?:.*\n)*?.*?Filter \((\d+)\)",
+                   tree)
+    if not bx:
+        return None
+    det = re.search(rf"\({bx.group(1)}\) Filter\n(?:.*\n)*?Condition : (.*)",
+                    plan)
+    return det.group(1) if det else None
+
+
 def formatted_plan(df) -> str:
     mode = df._jdf.sparkSession().sessionState().conf()  # noqa: F841 (touch)
     jvm = df.sparkSession._jvm
@@ -125,13 +139,10 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
     # --- similarity: broadcast direction + bucketed candidates (round 2) --
     p = formatted_plan(q["sim_topk_bruteforce"](spark, sf_dir))
     plans["sim_topk_bruteforce"] = p
-    tree = p.split("\n\n")[0]
-    bx = re.search(r"BroadcastExchange \(\d+\)\n(?:.*\n)*?.*?Filter \((\d+)\)", tree)
-    det = re.search(rf"\({bx.group(1)}\) Filter\n(?:.*\n)*?Condition : (.*)", p) \
-        if bx else None
+    cond = broadcast_side_filter_condition(p)
     add("sim_topk_bruteforce", "QUERY set broadcast, corpus streamed",
-        bool(det and "% 97" in det.group(1)),
-        det.group(1)[:80] if det else "no broadcast-side filter found")
+        bool(cond and "% 97" in cond),
+        cond[:80] if cond else "no broadcast-side filter found")
 
     p = formatted_plan(q["dedup_embedding_cosine"](spark, sf_dir))
     plans["dedup_embedding_cosine"] = p
