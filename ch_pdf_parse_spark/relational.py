@@ -119,9 +119,14 @@ def explode_documents(docs: DataFrame) -> DataFrame:
             F.coalesce(F.col("s.kind"), F.lit("")).alias("kind"),
             F.coalesce(F.col("s.text"), F.lit("")).alias("text"),
             F.coalesce(F.col("s.media_ref"), F.lit("")).alias("media_ref"),
+            # pmod, not %: Spark's % is sign-of-dividend remainder, but the
+            # oracle decodes with Python divmod (floor-mod). A corrupt
+            # NEGATIVE offset under % yields a negative y1, which the header
+            # band (y1 < HEADER_Y_MAX) silently swallows — found by fuzz,
+            # tests/test_fuzz.py pins it
             F.floor(off / C.OFFSET_PAGE).cast("int").alias("page"),
-            F.floor((off % C.OFFSET_PAGE) / C.OFFSET_Y).cast("int").alias("y1"),
-            (off % C.OFFSET_Y).cast("int").alias("x1"),
+            F.floor(F.pmod(off, C.OFFSET_PAGE) / C.OFFSET_Y).cast("int").alias("y1"),
+            F.pmod(off, C.OFFSET_Y).cast("int").alias("x1"),
         )
     )
 

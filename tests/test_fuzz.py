@@ -21,15 +21,27 @@ TEXT_POOL = ["å›¾1 é¢˜æ³¨", "è¡¨2 è¯´æ˜", "[3]å¼•ç”¨", "æ‘˜è¦å†…å®¹", "å…³é”®è
              "æ­£æ–‡å†…å®¹æ­£æ–‡å†…å®¹", "ç»­è¡Œæ–‡å­—", "x", "", None, "###equation",
              # non-ASCII digits: str.isdigit() accepts these, the classifier
              # must NOT (ASCII-pinned across all engines)
-             "å›¾ï¼‘ å…¨è§’", "è¡¨Â² ä¸Šæ ‡", "[ï¼‘]å…¨è§’å¼•ç”¨"]
+             "å›¾ï¼‘ å…¨è§’", "è¡¨Â² ä¸Šæ ‡", "[ï¼‘]å…¨è§’å¼•ç”¨",
+             # marker-with-space / bare markers: near-miss classifier inputs
+             "è¡¨ 3", "å›¾10é¢˜æ³¨", "å‚è€ƒæ–‡çŒ®"]
 
 
 def _rand_doc(rng: random.Random, doc_id: str):
     n = rng.randint(0, 25)
     spans = []
     for _ in range(n):
-        if rng.random() < 0.05:
+        r = rng.random()
+        if r < 0.05:
             off = None
+        elif r < 0.10:
+            # corrupt negative offsets: every path must decode them with
+            # FLOOR-mod like the oracle's divmod (Spark's % is remainder â€”
+            # a negative y1 lands in the header band and vanishes; r2 bug)
+            off = -rng.randint(1, 10**7)
+        elif r < 0.15:
+            off = rng.randint(10**9, 2**31 - 1)  # beyond any real page
+        elif r < 0.25 and spans:
+            off = spans[-1][3]  # exact offset collision
         else:
             off = core.pack_offset(rng.randint(0, 3), rng.randint(0, 999),
                                    rng.randint(0, 9999))
@@ -68,3 +80,22 @@ def test_fuzz_all_paths_match_oracle(spark):
         bad = [d for d in want if g[d] != want[d]]
         assert not bad, f"{tag}: {len(bad)} docs diverge, first={bad[0]}: " \
                         f"got={g[bad[0]]} want={want[bad[0]]}"
+
+
+def test_negative_offset_not_swallowed_by_header_band(spark):
+    """Minimal repro of the r2 fuzz find: a single span with a corrupt
+    negative offset must survive every path. Under remainder-% decoding its
+    y1 is negative (< HEADER_Y_MAX), so the relational twin classified it
+    'header' and emitted an empty document while the oracle said 'text'."""
+    schema = T.StructType([T.StructField("doc_id", T.StringType()),
+                           T.StructField("spans", T.ArrayType(SPAN_STRUCT))])
+    spans = [("unlabeled", "è¡¨ 3", "m2", -7641330)]
+    df = spark.createDataFrame([("d", spans)], schema)
+    want_recs, want_md = core.extract_document(spans)
+    assert want_recs, "oracle must keep the span"
+    for tag, out in [("flagship", extract_documents(df)),
+                     ("salted", extract_documents(df, salt_threshold=1)),
+                     ("relational", extract_documents_relational(df))]:
+        row = out.collect()[0]
+        got = ([tuple(s) for s in row["spans"]], row["markdown"])
+        assert got == ([tuple(r) for r in want_recs], want_md), tag
