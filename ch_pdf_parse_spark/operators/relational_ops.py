@@ -84,7 +84,7 @@ def a_group_concat_empty_sep(spark, sf_dir):
       FROM t
     )
     SELECT user_id, session_id, count(*) AS n_events,
-           round(CAST(sum(value::DECIMAL(18,6)) AS DOUBLE), 4) AS session_value
+           round(CAST(sum(value::DECIMAL(38,6)) AS DOUBLE), 4) AS session_value
     FROM s GROUP BY user_id, session_id
     """,
 )
@@ -245,9 +245,9 @@ def s_union_all(spark, sf_dir):
     "agg_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(38,2))) AS DOUBLE) / count(*), 6)
              AS avg_disc,
            count(*) AS n
     FROM lineitem
@@ -259,10 +259,10 @@ def agg_pricing_summary(spark, sf_dir):
     decimal sums for cross-engine exactness, tiny result."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.sum(F.col("l_quantity").cast("decimal(38,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).cast("double").alias("sum_price"),
         F.round(
-            F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double") / F.count("*"), 6
+            F.sum(F.col("l_discount").cast("decimal(38,2)")).cast("double") / F.count("*"), 6
         ).alias("avg_disc"),
         F.count("*").alias("n"),
     )
@@ -328,7 +328,7 @@ def m_need_info_gate(spark, sf_dir):
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n,
-           round(CAST(sum(value::DECIMAL(18,6)) AS DOUBLE), 4) AS total_value
+           round(CAST(sum(value::DECIMAL(38,6)) AS DOUBLE), 4) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )

@@ -15,7 +15,9 @@ two kernels' float64 accumulation orders are NOT pinned to each other
 one, not an order one: any two correctly-rounded float64 summation
 strategies over 64 terms differ by at most a few hundred ulp (~1e-13 at
 these magnitudes), while the smallest |dot(v, plane)| across the whole test
-corpus × all 12 hyperplanes is 2.5e-5 — eight orders of magnitude wider. So
+corpus × all 24 hyperplanes (ANN uses the first 12, near-dup all 24) is
+1.2e-5 — seven orders of magnitude wider, and pinned by
+tests/test_similarity.py::test_lsh_sign_margins_dwarf_float_error. So
 sign bits (hence candidate sets) are identical across engines, and cosine
 scores sit far inside the rounding (2-3 dp) and ranking tie gaps of the
 emitted results. (History: both sides originally pinned an explicit
@@ -145,6 +147,47 @@ def _bands_from_bits(bits_expr: str, engine: str,
     return bands
 
 
+def _lsh_buckets(df: DataFrame, sig_udf, n_planes: int) -> DataFrame:
+    """(vec_id, v) → one row per band membership: (vec_id, v, band, bkey).
+    Signature bits are one numpy matmul per Arrow batch; band keys are pure
+    column arithmetic, so bucketing never leaves the map side."""
+    s = df.withColumn("sig", sig_udf(F.col("v")))
+    bands = _bands_from_bits("sig", "spark", n_planes=n_planes)
+    return s.select(
+        "vec_id", "v",
+        F.posexplode(F.array(*[F.expr(b) for b in bands])).alias("band", "bkey"),
+    )
+
+
+def _banded_pair_scores(left: DataFrame, right: DataFrame, pair_pred,
+                        min_score: float | None = None) -> DataFrame:
+    """Candidate generation + scoring shared by every LSH operator: equi-join
+    two bucket sets on the scalar (band, bkey) key, score cosine on the
+    joined stream, THEN dedupe multi-band hits on the scalar id pair —
+    never shuffle 64-dim vectors as a distinct key (a band hit duplicates a
+    pair ≤ n_bands times; re-scoring a dup is one vectorized row,
+    re-shuffling its vectors is 16× the bytes). Cosine is deterministic per
+    pair, so max() is pure dedup. Output: (id_l, id_r, c).
+
+    ``pair_pred(l_id, r_id)`` picks the pair shape: ``!=`` for query→corpus
+    top-k, ``<`` for unordered near-dup pairs. ``min_score`` applies a
+    threshold map-side, BEFORE the dedup exchange, so sub-threshold band
+    collisions never shuffle (cosine is per-pair deterministic, so filtering
+    before vs after the max() dedup selects the same pairs)."""
+    l, r = left.alias("l"), right.alias("r")
+    scored = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.bkey") == F.col("r.bkey"))
+               & pair_pred(F.col("l.vec_id"), F.col("r.vec_id")))
+        .select(F.col("l.vec_id").alias("id_l"),
+                F.col("r.vec_id").alias("id_r"),
+                cosine(F.col("l.v"), F.col("r.v")).alias("c"))
+    )
+    if min_score is not None:
+        scored = scored.where(F.col("c") > min_score)
+    return scored.groupBy("id_l", "id_r").agg(F.max("c").alias("c"))
+
+
 @register(
     "sim_topk_bruteforce",
     f"""
@@ -229,27 +272,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_SPARK_D.format(v="embedding")).alias("v"))
-    s = e.withColumn("sig", _sig_bits(F.col("v")))
-    bands = _bands_from_bits("sig", "spark")
-    buckets = s.select(
-        "vec_id", "v",
-        F.posexplode(F.array(*[F.expr(b) for b in bands])).alias("band", "bkey"),
-    )
-    q = buckets.where(F.col("vec_id") % 97 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bkey", "band")
-    # score on the joined stream, THEN dedupe multi-band hits on the scalar
-    # (query_id, neighbor_id) key — never shuffle 64-dim vectors as a
-    # distinct key (a band hit duplicates a pair ≤ N_BANDS times; re-scoring
-    # a dup is one vectorized row, re-shuffling its vectors is 16× the bytes)
-    cand = (
-        q.join(buckets.alias("b"), (F.col("b.band") == q["band"])
-               & (F.col("b.bkey") == q["bkey"])
-               & (F.col("b.vec_id") != F.col("query_id")))
-        .select("query_id", F.col("b.vec_id").alias("neighbor_id"),
-                cosine(F.col("qv"), F.col("b.v")).alias("c"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.max("c").alias("c"))
-    )
+    buckets = _lsh_buckets(e, _sig_bits, N_PLANES)
+    q = buckets.where(F.col("vec_id") % 97 == 0)
+    cand = _banded_pair_scores(q, buckets, lambda ql, bl: ql != bl).select(
+        F.col("id_l").alias("query_id"), F.col("id_r").alias("neighbor_id"), "c")
     w = Window.partitionBy("query_id").orderBy(F.desc("c"), "neighbor_id")
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -301,28 +327,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     colinear injected dups share every band by construction); pytest keeps a
     Spark brute-force twin as a second oracle."""
     corpus = _dedup_corpus(spark, sf_dir)
-    s = corpus.withColumn("sig", _sig_bits_dedup(F.col("v")))
-    bands = _bands_from_bits("sig", "spark", n_planes=N_PLANES_DEDUP)
-    buckets = s.select(
-        "vec_id", "v",
-        F.posexplode(F.array(*[F.expr(b) for b in bands])).alias("band", "bkey"),
-    )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    # score on the joined stream, dedupe multi-band hits on the scalar pair
-    # key (same rationale as sim_ann_lsh: never shuffle vectors as keys);
-    # cosine is deterministic per pair, so max() is pure dedup
-    scored = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bkey") == F.col("b.bkey"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
-                cosine(F.col("a.v"), F.col("b.v")).alias("c"))
-        .where(F.col("c") > 0.95)
-    )
-    return (
-        scored.groupBy("vec_a", "vec_b").agg(F.max("c").alias("c"))
-        .select("vec_a", "vec_b", F.round("c", 2).alias("cos"))
-    )
+    buckets = _lsh_buckets(corpus, _sig_bits_dedup, N_PLANES_DEDUP)
+    scored = _banded_pair_scores(buckets, buckets, lambda a, b: a < b,
+                                 min_score=0.95)
+    return scored.select(
+        F.col("id_l").alias("vec_a"), F.col("id_r").alias("vec_b"),
+        F.round("c", 2).alias("cos"))
 
 
 def dedup_embedding_cosine_bruteforce(spark: SparkSession,

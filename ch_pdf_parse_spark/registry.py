@@ -47,9 +47,15 @@ def exact_sum(col, scale: int = 6):
     order of float64 addition changes with shuffle layout, so borderline
     values flip the last rounded digit between runs and engines (the round-1
     driver flaked exactly this way on a_session_merge). DuckDB twin:
-    ``CAST(sum(<col>::DECIMAL(18,{scale})) AS DOUBLE)``.
+    ``CAST(sum(<col>::DECIMAL(38,{scale})) AS DOUBLE)``.
+
+    Precision 38 (not 18) so the addend ceiling is |v| < 10^32: under ANSI
+    mode (Spark 4 default) a double that exceeds the decimal's range raises
+    on BOTH engines at the same boundary, and 18 digits made that boundary a
+    plausible 10^12. NaN/Inf likewise raise on both engines — loud and
+    consistent, never a silent one-engine NULL-skip.
     """
-    return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")
+    return F.sum(F.col(col).cast(f"decimal(38,{scale})")).cast("double")
 
 
 def fixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,7 +201,7 @@ def p_page_bucket(spark, sf_dir):
     "a_window_cumsum",
     """
     SELECT event_id, user_id,
-           ROUND(CAST(SUM(value::DECIMAL(18,6))
+           ROUND(CAST(SUM(value::DECIMAL(38,6))
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
              AS running_value
@@ -216,7 +222,7 @@ def a_window_cumsum(spark, sf_dir):
     # even an ORDER BY-pinned frame does not pin float accumulation order
     return _t(spark, sf_dir, "events").select(
         "event_id", "user_id",
-        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+        F.round(F.sum(F.col("value").cast("decimal(38,6)")).over(w)
                 .cast("double"), 4).alias("running_value"),
     )
 

@@ -25,6 +25,24 @@ def test_lsh_dedup_equals_bruteforce(spark):
     assert got == want
 
 
+def test_lsh_sign_margins_dwarf_float_error(spark):
+    """The module-docstring determinism argument is a MARGIN argument: sign
+    bits agree across engines because no corpus vector sits within float64
+    accumulation distance (~1e-13) of any hyperplane. Pin the minimum |dot|
+    over ALL N_PLANES_DEDUP planes (the 12 ANN planes are the prefix) at
+    both test scales, including the 0.5×-scaled injected dups (scaling a
+    vector scales its plane dots, so their margin is exactly half)."""
+    import numpy as np
+
+    from ch_pdf_parse_spark.operators.similarity import _PLANES_DEDUP_NP
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = spark.read.parquet(sf_dir + "/embeddings.parquet").collect()
+        A = np.array([list(r.embedding) for r in emb], dtype=np.float64)
+        margin = float(np.min(np.abs(A @ _PLANES_DEDUP_NP.T)))
+        assert margin / 2 > 1e-6, (sf_dir, margin)
+
+
 def test_ivf_cell_ranking_margins_dwarf_float_error(spark):
     """The IVF cell ranking is engine-portable because every ranking decision
     sits far above float64 accumulation error (~1e-13 for 64-term dots): pin

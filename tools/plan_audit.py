@@ -30,17 +30,41 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "BENCH", "PLANS.md")
 
 
+def _node_indent(line: str) -> int:
+    """Depth of a tree line = column of its branch connector (``+-``/``:-``).
+    Siblings share the connector column regardless of the optional codegen
+    ``* `` marker (which shifts the node-text column, so that can't be the
+    metric); children sit 3 columns right. The root has no connector: -1."""
+    m = re.match(r"[ :]*[+:]-", line)
+    return m.end() - 2 if m else -1
+
+
 def broadcast_side_filter_condition(plan: str) -> str | None:
-    """The Condition of the first Filter under the first BroadcastExchange in
-    a formatted plan, or None — identifies WHICH side a join broadcasts
-    (shared by the audit and tests/test_plans.py so the two never drift)."""
-    tree = plan.split("\n\n")[0]
-    bx = re.search(r"BroadcastExchange \(\d+\)\n(?:.*\n)*?.*?Filter \((\d+)\)",
-                   tree)
-    if not bx:
+    """The Condition of the first Filter INSIDE the first BroadcastExchange
+    subtree of a formatted plan, or None — identifies WHICH side a join
+    broadcasts (shared by the audit and tests/test_plans.py so the two never
+    drift).
+
+    Subtree membership is decided by indentation, not textual order: a
+    sibling/parent branch printed after the exchange (e.g. the streamed side
+    of a BuildLeft join) indents at or left of the exchange and is skipped,
+    so its Filter can never be misattributed to the broadcast side."""
+    tree = plan.split("\n\n")[0].splitlines()
+    fid = None
+    for i, line in enumerate(tree):
+        if re.search(r"BroadcastExchange \(\d+\)", line):
+            depth = _node_indent(line)
+            for sub in tree[i + 1:]:
+                if _node_indent(sub) <= depth:
+                    break  # left the exchange's subtree
+                m = re.search(r"Filter \((\d+)\)", sub)
+                if m:
+                    fid = m.group(1)
+                    break
+            break
+    if fid is None:
         return None
-    det = re.search(rf"\({bx.group(1)}\) Filter\n(?:.*\n)*?Condition : (.*)",
-                    plan)
+    det = re.search(rf"\({fid}\) Filter\n(?:.*\n)*?Condition : (.*)", plan)
     return det.group(1) if det else None
 
 
