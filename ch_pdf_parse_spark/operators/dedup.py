@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..registry import register, _t
+from ..registry import quantize, register, _t
 
 N_MINHASH = 16
 N_BANDS = 4  # 4 rows per band
@@ -271,7 +271,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
     return (
         shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .withColumn("jaccard", F.round(
+        .withColumn("jaccard", quantize(
             F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -288,11 +288,11 @@ def _jaccard_sql(threshold: float = 0.5) -> str:
                       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                     GROUP BY 1, 2)
     SELECT doc_a, doc_b,
-           round(shared / (na.n + nb.n - shared), 4) AS jaccard
+           CAST(CAST(CAST((shared / (na.n + nb.n - shared)) AS DOUBLE) AS DECIMAL(38,4)) AS DOUBLE) AS jaccard
     FROM shared
     JOIN sizes na ON na.doc_id = doc_a
     JOIN sizes nb ON nb.doc_id = doc_b
-    WHERE round(shared / (na.n + nb.n - shared), 4) >= {threshold}
+    WHERE CAST(CAST(CAST((shared / (na.n + nb.n - shared)) AS DOUBLE) AS DECIMAL(38,4)) AS DOUBLE) >= {threshold}
     """
 
 

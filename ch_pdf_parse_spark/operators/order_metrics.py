@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..registry import register, _t
+from ..registry import quantize, register, _t
 
 
 def rank_correlation(df: DataFrame, group: str, x: str, y: str,
@@ -47,9 +47,13 @@ def rank_correlation(df: DataFrame, group: str, x: str, y: str,
         F.col(group).alias("g"), F.col(x).alias("x"), F.col(y).alias("y"),
         F.col(tiebreak).alias("tb"),
     ).withColumn("rid", F.row_number().over(
-        Window.partitionBy("g").orderBy("x", "y", "tb")))
-    wx = Window.partitionBy("g").orderBy("x", "rid")
-    wy = Window.partitionBy("g").orderBy("y", "rid")
+        # nulls-first pinned explicitly on both engines (Spark's ASC default,
+        # but DuckDB defaults nulls-last — tools/adversarial_gate.py)
+        Window.partitionBy("g").orderBy(F.asc_nulls_first("x"),
+                                        F.asc_nulls_first("y"),
+                                        F.asc_nulls_first("tb"))))
+    wx = Window.partitionBy("g").orderBy(F.asc_nulls_first("x"), "rid")
+    wy = Window.partitionBy("g").orderBy(F.asc_nulls_first("y"), "rid")
     r = base.select(
         "g",
         F.row_number().over(wx).alias("rx"),
@@ -73,10 +77,14 @@ def rank_correlation(df: DataFrame, group: str, x: str, y: str,
         .select(
             F.col("g").alias(group),
             "n",
-            F.when(n >= 2, F.round(
-                1.0 - 6.0 * F.col("d2") / (n * (n * n - 1)), 6)).alias("spearman_rho"),
-            F.when(n >= 2, F.round(
-                2.0 * F.col("cd") / (n * (n - 1)), 6)).alias("kendall_tau"),
+            # quantize, not round(): engine round()s disagree on repr-tie
+            # doubles and IEEE -0.0 (registry.quantize)
+            F.when(n >= 2, quantize(
+                1.0 - 6.0 * F.col("d2") / (n * (n * n - 1)), 6))
+            .alias("spearman_rho"),
+            F.when(n >= 2, quantize(
+                2.0 * F.col("cd") / (n * (n - 1)), 6))
+            .alias("kendall_tau"),
         )
     )
 
@@ -87,13 +95,14 @@ def rank_correlation(df: DataFrame, group: str, x: str, y: str,
     WITH base AS (
       SELECT l_orderkey AS g, l_extendedprice AS x, l_quantity AS y,
              ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                                ORDER BY l_extendedprice, l_quantity,
-                                         l_linenumber) AS rid
+                                ORDER BY l_extendedprice NULLS FIRST,
+                                         l_quantity NULLS FIRST,
+                                         l_linenumber NULLS FIRST) AS rid
       FROM lineitem),
     r AS (
       SELECT g,
-             ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, rid) AS rx,
-             ROW_NUMBER() OVER (PARTITION BY g ORDER BY y, rid) AS ry
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY x NULLS FIRST, rid) AS rx,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY y NULLS FIRST, rid) AS ry
       FROM base),
     sp AS (SELECT g, count(*) AS n, sum((rx - ry) * (rx - ry)) AS d2
            FROM r GROUP BY g),
@@ -102,10 +111,10 @@ def rank_correlation(df: DataFrame, group: str, x: str, y: str,
            GROUP BY a.g)
     SELECT sp.g AS l_orderkey, sp.n,
            CASE WHEN sp.n >= 2
-                THEN round(1.0 - 6.0 * d2 / (sp.n * (sp.n * sp.n - 1)), 6)
+                THEN CAST(CAST(CAST((1.0 - 6.0 * d2 / (sp.n * (sp.n * sp.n - 1))) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE)
            END AS spearman_rho,
            CASE WHEN sp.n >= 2
-                THEN round(2.0 * cd / (sp.n * (sp.n - 1)), 6)
+                THEN CAST(CAST(CAST((2.0 * cd / (sp.n * (sp.n - 1))) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE)
            END AS kendall_tau
     FROM sp LEFT JOIN kd ON kd.g = sp.g
     """,

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..registry import exact_sum, register, _t
+from ..registry import exact_sum, q_sql, quantize, register, _t
 
 
 @register(
@@ -52,13 +52,20 @@ def f_nest_collect(spark, sf_dir):
     "a_group_concat_empty_sep",
     """
     SELECT l_orderkey,
-           string_agg(l_returnflag, '' ORDER BY l_linenumber, l_returnflag) AS merged
+           COALESCE(string_agg(l_returnflag, ''
+                    ORDER BY l_linenumber NULLS FIRST, l_returnflag NULLS FIRST),
+                    '') AS merged
     FROM lineitem GROUP BY l_orderkey
     """,
 )
 def a_group_concat_empty_sep(spark, sf_dir):
     """A1/A2: group-concat with EMPTY separator — the Chinese-aware no-space
-    line merge (capstring += segments[0], predict/pdf2markdown.py:116-117)."""
+    line merge (capstring += segments[0], predict/pdf2markdown.py:116-117).
+
+    An all-NULL group merges to '' on both engines: Spark's array_join skips
+    null elements and returns '', while string_agg returns NULL — COALESCE
+    pins the empty-merge contract (tools/adversarial_gate.py). Null order is
+    pinned FIRST to match Spark's struct comparator (null fields sort low)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
         F.array_join(
@@ -75,16 +82,18 @@ def a_group_concat_empty_sep(spark, sf_dir):
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
                   THEN 1 ELSE 0 END AS is_new
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     ),
     s AS (
       SELECT user_id, event_id, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             sum(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts NULLS FIRST, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM t
     )
     SELECT user_id, session_id, count(*) AS n_events,
-           round(CAST(sum(value::DECIMAL(38,6)) AS DOUBLE), 4) AS session_value
+           CAST(CAST(CAST((CAST(sum(value::DECIMAL(38,6)) AS DOUBLE)) AS DOUBLE) AS DECIMAL(38,4)) AS DOUBLE) AS session_value
     FROM s GROUP BY user_id, session_id
     """,
 )
@@ -92,7 +101,11 @@ def a_session_merge(spark, sf_dir):
     """A2/M2 pattern: boundary-flag cumulative sum → session/paragraph ids →
     group merge (the new_line fold, predict/pdf2markdown.py:565-577)."""
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULLS FIRST pinned on both engines (Spark/DuckDB ASC defaults differ);
+    # every null-ts row then opens a fresh session on both: its lag(ts) is
+    # NULL (either partition head or a preceding null-ts row), as does the
+    # first timestamped row after the null block
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_first("ts"), "event_id")
     # fractional epoch seconds on both engines (events carry microseconds;
     # parquet timestamps load as TIMESTAMP_NTZ, which needs a 2-step cast)
     ep = F.col("ts").cast("timestamp").cast("double")
@@ -105,7 +118,7 @@ def a_session_merge(spark, sf_dir):
         F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     return s.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        F.round(exact_sum("value"), 4).alias("session_value"))
+        quantize(exact_sum("value"), 4).alias("session_value"))
 
 
 @register(
@@ -179,8 +192,9 @@ def o_order_reversal(spark, sf_dir):
     "a_markdown_fold",
     """
     SELECT l_orderkey,
-           string_agg('   ' || chr(10) || chr(10) || l_returnflag || ':' || l_linenumber,
-                      '' ORDER BY l_linenumber, l_returnflag) AS md
+           COALESCE(string_agg('   ' || chr(10) || chr(10) || l_returnflag || ':' || l_linenumber,
+                      '' ORDER BY l_linenumber NULLS FIRST, l_returnflag NULLS FIRST),
+                    '') AS md
     FROM lineitem GROUP BY l_orderkey
     """,
 )
@@ -203,7 +217,7 @@ def a_markdown_fold(spark, sf_dir):
     SELECT p_partkey,
            string_split(p_type, ' ')[-1] AS last_word,
            '![](' || p_brand || ')' AS md_image,
-           round(sqrt(power(p_size, 2) + power(p_retailprice / 100, 2)), 4) AS dist,
+           CAST(CAST(CAST((sqrt(power(p_size, 2) + power(p_retailprice / 100, 2))) AS DOUBLE) AS DECIMAL(38,4)) AS DOUBLE) AS dist,
            CAST(floor(p_size * (1024.0 / 50 - 0.00001)) AS BIGINT) AS scaled,
            substr(p_name, 1, greatest(length(p_name) - 4, 0)) AS stem
     FROM part
@@ -218,7 +232,9 @@ def x_scalar_funcs(spark, sf_dir):
         "p_partkey",
         F.element_at(F.split("p_type", " "), -1).alias("last_word"),
         F.concat(F.lit("![]("), F.col("p_brand"), F.lit(")")).alias("md_image"),
-        F.round(F.sqrt(F.pow("p_size", F.lit(2)) + F.pow(F.col("p_retailprice") / 100, F.lit(2))), 4).alias("dist"),
+        quantize(F.sqrt(F.pow("p_size", F.lit(2))
+                        + F.pow(F.col("p_retailprice") / 100, F.lit(2))), 4)
+        .alias("dist"),
         F.floor(F.col("p_size") * (1024.0 / 50 - 0.00001)).cast("long").alias("scaled"),
         F.expr("substr(p_name, 1, greatest(length(p_name) - 4, 0))").alias("stem"),
     )
@@ -247,7 +263,7 @@ def s_union_all(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(38,2))) AS DOUBLE) / count(*), 6)
+           CAST(CAST(CAST((CAST(sum(CAST(l_discount AS DECIMAL(38,2))) AS DOUBLE) / count(*)) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE)
              AS avg_disc,
            count(*) AS n
     FROM lineitem
@@ -261,8 +277,9 @@ def agg_pricing_summary(spark, sf_dir):
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(F.col("l_quantity").cast("decimal(38,2)")).cast("double").alias("sum_qty"),
         F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).cast("double").alias("sum_price"),
-        F.round(
-            F.sum(F.col("l_discount").cast("decimal(38,2)")).cast("double") / F.count("*"), 6
+        quantize(
+            F.sum(F.col("l_discount").cast("decimal(38,2)")).cast("double")
+            / F.count("*"), 6
         ).alias("avg_disc"),
         F.count("*").alias("n"),
     )
@@ -328,8 +345,11 @@ def m_need_info_gate(spark, sf_dir):
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n,
-           round(CAST(sum(value::DECIMAL(38,6)) AS DOUBLE), 4) AS total_value
-    FROM events GROUP BY 1, 2
+           CAST(CAST(CAST((CAST(sum(value::DECIMAL(38,6)) AS DOUBLE)) AS DOUBLE) AS DECIMAL(38,4)) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts IS NOT NULL  -- windowing is defined on event time only; Spark's
+                          -- window(ts) silently drops null-ts rows
+    GROUP BY 1, 2
     """,
 )
 def a_windowed_events(spark, sf_dir):
@@ -338,10 +358,15 @@ def a_windowed_events(spark, sf_dir):
     watermarked stream runs; asserted equal in tests/test_streaming.py).
     Epoch-aligned 1-hour windows == date_trunc('hour'), so the oracle is
     plain SQL."""
-    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    e = (_t(spark, sf_dir, "events")
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         # explicit: F.window would drop null-ts rows anyway; the oracle
+         # mirrors the contract with WHERE ts IS NOT NULL
+         .where(F.col("ts").isNotNull()))
     return (
         e.groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(exact_sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n"),
+             quantize(exact_sum("value"), 4).alias("total_value"))
         .select(F.col("window.start").alias("window_start"),
                 "event_type", "n", "total_value")
     )

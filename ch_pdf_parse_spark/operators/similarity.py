@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
-from ..registry import SQL, register, _t
+from ..registry import SQL, quantize, register, _t
 
 DIM = 64
 N_PLANES = 12
@@ -202,7 +202,7 @@ def _banded_pair_scores(left: DataFrame, right: DataFrame, pair_pred,
                   ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY c DESC, neighbor_id) AS rank
            FROM scored)
-    SELECT query_id, neighbor_id, rank, round(c, 3) AS cos
+    SELECT query_id, neighbor_id, rank, CAST(CAST(CAST((c) AS DOUBLE) AS DECIMAL(38,3)) AS DOUBLE) AS cos
     FROM ranked WHERE rank <= {TOPK}
     """,
 )
@@ -227,7 +227,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOPK)
-        .select("query_id", "neighbor_id", "rank", F.round("c", 3).alias("cos"))
+        .select("query_id", "neighbor_id", "rank", quantize("c", 3).alias("cos"))
     )
 
 
@@ -313,7 +313,7 @@ def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                   {_duck_cos('a.v', 'b.v')} AS c
            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
-    SELECT vec_a, vec_b, round(c, 2) AS cos
+    SELECT vec_a, vec_b, CAST(CAST(CAST((c) AS DOUBLE) AS DECIMAL(38,2)) AS DOUBLE) AS cos
     FROM pairs WHERE c > 0.95
     """,
 )
@@ -332,7 +332,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  min_score=0.95)
     return scored.select(
         F.col("id_l").alias("vec_a"), F.col("id_r").alias("vec_b"),
-        F.round("c", 2).alias("cos"))
+        quantize("c", 2).alias("cos"))
 
 
 def dedup_embedding_cosine_bruteforce(spark: SparkSession,
@@ -345,7 +345,7 @@ def dedup_embedding_cosine_bruteforce(spark: SparkSession,
         F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
         cosine(F.col("a.v"), F.col("b.v")).alias("c"))
     return pairs.where(F.col("c") > 0.95).select(
-        "vec_a", "vec_b", F.round("c", 2).alias("cos"))
+        "vec_a", "vec_b", quantize("c", 2).alias("cos"))
 
 
 # ---------------------------------------------------------------------------

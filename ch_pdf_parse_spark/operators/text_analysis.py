@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import constants as C
-from ..registry import register, _t
+from ..registry import quantize, register, _t
 from .dedup import portable_hash
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -74,10 +74,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            length(text) AS n_chars2,
            len(l) AS n_tokens,
-           round(length(text) * 1.0 / greatest(len(l), 1), 4) AS avg_tok_len,
-           round({_stop_ratio_sql("l")}, 4) AS stopword_ratio,
-           round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0
-                 / greatest(length(text), 1), 4) AS punct_ratio
+           CAST(CAST(CAST((length(text) * 1.0 / greatest(len(l), 1)) AS DOUBLE) AS DECIMAL(38,4)) AS DOUBLE) AS avg_tok_len,
+           CAST(CAST(CAST(({_stop_ratio_sql("l")}) AS DOUBLE) AS DECIMAL(38,4)) AS DOUBLE) AS stopword_ratio,
+           CAST(CAST(CAST((len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0
+                 / greatest(length(text), 1)) AS DOUBLE) AS DECIMAL(38,4)) AS DOUBLE) AS punct_ratio
     FROM t
     """,
 )
@@ -91,9 +91,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("text").alias("n_chars2"),
         F.size("l").alias("n_tokens"),
-        F.round(F.length("text") * 1.0 / ntok, 4).alias("avg_tok_len"),
-        F.round(_stop_ratio_expr("l"), 4).alias("stopword_ratio"),
-        F.round(
+        quantize(F.length("text") * 1.0 / ntok, 4).alias("avg_tok_len"),
+        quantize(_stop_ratio_expr("l"), 4).alias("stopword_ratio"),
+        quantize(
             F.size(F.expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)")) * 1.0
             / F.greatest(F.length("text"), F.lit(1)), 4,
         ).alias("punct_ratio"),
@@ -203,7 +203,9 @@ _BP_DUCK = ("contains(x, '|') OR starts_with(x, 'Copyright') "
                     len(l) AS n_lines
              FROM lines)
     SELECT doc_id,
-           array_to_string(keep, chr(10)) AS main_content,
+           -- COALESCE: duckdb's array_to_string([]) is NULL, Spark's
+           -- array_join([]) is '' (tools/adversarial_gate.py)
+           COALESCE(array_to_string(keep, chr(10)), '') AS main_content,
            len(keep) AS n_kept,
            n_lines - len(keep) AS n_dropped
     FROM kept
@@ -279,7 +281,7 @@ def text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs,
            sum(n_copies) - count(*) AS n_dups_removed,
            sum(n_tokens) AS total_tokens,
-           round(sum(n_tokens) * 1.0 / count(*), 2) AS avg_tokens
+           CAST(CAST(CAST((sum(n_tokens) * 1.0 / count(*)) AS DOUBLE) AS DECIMAL(38,2)) AS DOUBLE) AS avg_tokens
     FROM deduped GROUP BY lang
     """,
 )
@@ -320,5 +322,5 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
              # NOT F.avg: Spark's Average over ints accumulates in double, so
              # round(avg) is partition-order-dependent (round-1 driver flake).
              # Exact long sum / exact long count = one deterministic division.
-             F.round(F.sum("n_tokens") / F.count("*"), 2).alias("avg_tokens"))
+             quantize(F.sum("n_tokens") / F.count("*"), 2).alias("avg_tokens"))
     )

@@ -58,6 +58,28 @@ def exact_sum(col, scale: int = 6):
     return F.sum(F.col(col).cast(f"decimal(38,{scale})")).cast("double")
 
 
+def quantize(col, scale: int = 4):
+    """Cross-engine deterministic replacement for ``round(<double>, s)``:
+    double → decimal(38,s) → double. Both engines implement the double→
+    decimal cast as HALF_UP on the value's shortest decimal representation,
+    while their round() functions diverge: Spark rounds the shortest repr
+    (BigDecimal.valueOf) but DuckDB rounds the BINARY value — 135.795 (a
+    double just below the tie) rounds to 135.8 vs 135.79 — and DuckDB's
+    round() also preserves IEEE -0.0 where Spark normalizes it. The decimal
+    hop produces identical digits on both engines and squashes zero sign.
+    DuckDB twin: ``q_sql``. Do NOT substitute a decimal→decimal rescale:
+    DuckDB truncates those instead of rounding (found by
+    tools/adversarial_gate.py)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("double").cast(f"decimal(38,{scale})").cast("double")
+
+
+def q_sql(expr: str, scale: int = 4) -> str:
+    """DuckDB twin of quantize() for oracle SQL strings."""
+    return (f"CAST(CAST(CAST(({expr}) AS DOUBLE) AS DECIMAL(38,{scale})) "
+            f"AS DOUBLE)")
+
+
 def fixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synthetic interleaved-documents corpus scaled like sf_dir.
 
@@ -153,21 +175,28 @@ def p_filter_project(spark, sf_dir):
     "p_bbox_arith",
     """
     SELECT l_orderkey, l_linenumber,
-           CAST(FLOOR(l_extendedprice * (1024.0 / GREATEST(l_quantity, l_tax * 100) - 0.00001)) AS BIGINT) AS norm_px,
+           CAST(FLOOR(l_extendedprice * (1024.0 / NULLIF(GREATEST(l_quantity, l_tax * 100), 0) - 0.00001)) AS BIGINT) AS norm_px,
            GREATEST(l_quantity, 1.0 + 5.0) AS fixed_x2
     FROM lineitem
     """,
 )
 def p_bbox_arith(spark, sf_dir):
     """P5/P6: bbox sanitize + normalize-to-1024 arithmetic
-    (predict/ppocr_server.py:98-101; predict/pdf2markdown.py:240-248)."""
+    (predict/ppocr_server.py:98-101; predict/pdf2markdown.py:240-248).
+
+    A zero page side is NULL on both engines (Spark ``try_divide`` ↔ DuckDB
+    ``NULLIF`` divisor): under ANSI Spark raises on x/0 while DuckDB yields
+    ±inf — an explicit contract replaces two different failure modes
+    (tools/adversarial_gate.py)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.floor(
             F.col("l_extendedprice")
-            * (F.lit(1024.0) / F.greatest("l_quantity", F.col("l_tax") * 100) - 0.00001)
+            * (F.try_divide(F.lit(1024.0),
+                            F.greatest("l_quantity", F.col("l_tax") * 100))
+               - 0.00001)
         ).cast("bigint").alias("norm_px"),
         F.greatest(F.col("l_quantity"), F.lit(1.0) + 5.0).alias("fixed_x2"),
     )
@@ -199,31 +228,36 @@ def p_page_bucket(spark, sf_dir):
 
 @register(
     "a_window_cumsum",
-    """
+    f"""
     SELECT event_id, user_id,
-           ROUND(CAST(SUM(value::DECIMAL(38,6))
-                 OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+           {q_sql('''CAST(SUM(value::DECIMAL(38,6))
+                 OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)''')}
              AS running_value
     FROM events
     """,
 )
 def a_window_cumsum(spark, sf_dir):
     """A6: running prefix-sum window (the current_position accumulator,
-    predict/pdf2markdown.py:259-286)."""
+    predict/pdf2markdown.py:259-286).
+
+    NULLS FIRST is pinned on both engines: Spark defaults ASC to nulls-first
+    but DuckDB to nulls-last, so an unpinned nullable order key silently
+    reorders the prefix between engines (found by tools/adversarial_gate.py).
+    """
     from pyspark.sql import Window
 
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_first("ts"), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # decimal addends: DuckDB evaluates windowed sums with a segment tree, so
     # even an ORDER BY-pinned frame does not pin float accumulation order
     return _t(spark, sf_dir, "events").select(
         "event_id", "user_id",
-        F.round(F.sum(F.col("value").cast("decimal(38,6)")).over(w)
-                .cast("double"), 4).alias("running_value"),
+        quantize(F.sum(F.col("value").cast("decimal(38,6)")).over(w)
+                 .cast("double"), 4).alias("running_value"),
     )
 
 
@@ -270,27 +304,36 @@ def j_positional_join(spark, sf_dir):
 
 @register(
     "o_top1_per_group",
-    """
-    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+    f"""
+    SELECT l_orderkey, l_linenumber, {q_sql('l_extendedprice', 2)} AS price
     FROM (
       SELECT l_orderkey, l_linenumber, l_extendedprice,
              ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                                ORDER BY l_extendedprice DESC, l_linenumber) AS rk
+                                ORDER BY l_extendedprice DESC NULLS LAST,
+                                         l_linenumber NULLS FIRST) AS rk
       FROM lineitem
     ) WHERE rk = 1
     """,
 )
 def o_top1_per_group(spark, sf_dir):
     """O2: deterministic top-1 per group (caption greedy rank consumes only
-    ranklist[0], predict/pdf2markdown.py:111-114)."""
+    ranklist[0], predict/pdf2markdown.py:111-114).
+
+    Cross-engine pins (tools/adversarial_gate.py): null order is explicit on
+    both engines (Spark and DuckDB disagree on ASC defaults); the output
+    price is quantized through decimal (see registry.quantize) because the
+    two engines' round() disagree on repr-tie doubles and on IEEE -0.0.
+    """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_extendedprice"), "l_linenumber")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc_nulls_last("l_extendedprice"), F.asc_nulls_first("l_linenumber"))
     return (
         _t(spark, sf_dir, "lineitem")
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
-        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+        .select("l_orderkey", "l_linenumber",
+                quantize("l_extendedprice", 2).alias("price"))
     )
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..pipeline import extract_documents
-from ..registry import exact_sum
+from ..registry import exact_sum, quantize
 
 
 def incremental_extract(
@@ -54,7 +54,8 @@ def windowed_event_stats(events_stream: DataFrame,
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")
-        .agg(F.count("*").alias("n"), F.round(exact_sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n"),
+             quantize(exact_sum("value"), 4).alias("total_value"))
         .select(
             F.col("window.start").alias("window_start"),
             "event_type", "n", "total_value",

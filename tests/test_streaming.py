@@ -7,7 +7,7 @@ import shutil
 from pyspark.sql import functions as F
 
 from ch_pdf_parse_spark.pipeline import extract_documents
-from ch_pdf_parse_spark.registry import exact_sum
+from ch_pdf_parse_spark.registry import exact_sum, quantize
 from ch_pdf_parse_spark.streaming.incremental import (
     incremental_extract,
     windowed_event_stats,
@@ -61,7 +61,7 @@ def test_windowed_stats_match_batch(spark, tmp_path):
     batch = (
         events.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count("*").alias("n"),
-             F.round(exact_sum("value"), 4).alias("total_value"))
+             quantize(exact_sum("value"), 4).alias("total_value"))
         .select(F.col("window.start").alias("window_start"),
                 "event_type", "n", "total_value")
     )

@@ -92,7 +92,13 @@ def main() -> int:
             if not ok_cols:
                 print(f"   spark cols: {sorted(scols)}\n   duck  cols: {sorted(dcols)}")
             elif not ok_hash and srows and drows:
-                print(f"   spark row0: {sorted(srows)[0]}\n   duck  row0: {sorted(drows)[0]}")
+                key = lambda row: tuple(_norm(v) for v in row)  # noqa: E731
+                sd = sorted(srows, key=key)
+                dd = sorted(drows, key=key)
+                diff = next((i for i, (a, b) in enumerate(zip(sd, dd))
+                             if key(a) != key(b)), 0)
+                print(f"   first differing row (sorted #{diff}):\n"
+                      f"   spark: {sd[diff]}\n   duck : {dd[diff]}")
     spark.stop()
     print("FAILED:", failed if failed else "none")
     return 1 if failed else 0
