@@ -3,8 +3,22 @@
 Each entry pairs a PySpark DataFrame query (run on the driver's parquet tables
 at ``sf_dir``) with an equivalent ANSI-SQL oracle that DuckDB executes over the
 same files. Column names/aliases match exactly on both sides (driver hashes
-values after sorting columns by name). Floating-point outputs are rounded on
-both sides so value hashes are stable.
+values after sorting columns by name).
+
+Cross-engine determinism contracts (each one policed by
+tools/adversarial_gate.py, which replays every pair over seeded hostile
+tables):
+
+* double sums/averages go through ``exact_sum`` (decimal addends — float
+  accumulation order is shuffle-dependent);
+* quantized double outputs go through ``quantize``/``q_sql`` (double →
+  decimal(38,s) → double), never round(): the engines' round() disagree on
+  repr-tie doubles and IEEE -0.0;
+* every windowed ORDER BY over nullable keys pins null placement on both
+  sides (Spark defaults ASC nulls-first, DuckDB nulls-last);
+* empty group-merges pin '' (COALESCE over string_agg/array_to_string);
+* division guards are explicit (try_divide ↔ NULLIF) — ANSI Spark raises
+  on x/0 while DuckDB yields ±inf.
 
 Extraction-pipeline entries run on the deterministic synthetic interleaved
 corpus (fixtures.py) — not SQL-expressible, so they are registered without an
