@@ -81,9 +81,21 @@ def read_annotations(spark: SparkSession, path: str) -> DataFrame:
     x2 = F.coalesce(quad[2][0], rect[2])
     y2 = F.coalesce(quad[2][1], rect[3])
 
-    # P6: 1024 normalization by the longer page side (int truncation, X7)
-    scale = 1024.0 / F.greatest(F.element_at("image_size", 1),
-                                F.element_at("image_size", 2)) - 0.00001
+    # P6: 1024 normalization by the longer page side (int truncation, X7).
+    # try_divide/try_element_at, not //element_at: under ANSI a single
+    # corrupt page (image_size [0, 0], or a 1-element/absent image_size)
+    # would abort the WHOLE ingest job (the reference's per-request
+    # ZeroDivisionError/IndexError analog must degrade per-RECORD in a
+    # batch engine) — the page's bboxes normalize to NULL instead and the
+    # row survives for downstream filtering.
+    # (gate on exactly 2 sides: greatest() skips NULLs, so a 1-element
+    # image_size would otherwise silently normalize by the one present side)
+    scale = F.when(
+        F.size("image_size") == 2,
+        F.try_divide(
+            F.lit(1024.0),
+            F.greatest(F.try_element_at("image_size", F.lit(1)),
+                       F.try_element_at("image_size", F.lit(2)))) - 0.00001)
     norm = [F.floor(v * scale).cast("int") for v in (x1, y1, x2, y2)]
 
     # P5: bbox sanitization (inverted/degenerate boxes,

@@ -116,3 +116,36 @@ def test_citation_label_join(spark, annot_dir):
     # (train/preprocess.py:547); variant B (need-info absent → True) has no
     # position entries, so the gate must not invent labels for it either
     assert labels == {(0, 1): (5, 8)}
+
+
+def test_hostile_pages_degrade_per_record(spark, tmp_path):
+    """A single corrupt page (image_size [0,0], null/short image_size,
+    unparseable text_region, null annotate) must never abort the ingest job
+    under ANSI — the bad page's bboxes go NULL and every parseable segment
+    survives (tools/adversarial probe, 100 TB contract: per-record
+    degradation, not per-job)."""
+    import json
+
+    pages = [
+        {"image_id": 0, "pdf": "d", "image_size": [0, 0],
+         "annotate": [{"text_region": "[1,2,3,4]", "text": "zero"}]},
+        {"image_id": 1, "pdf": "d", "image_size": None,
+         "annotate": [{"text_region": "[[1,2],[3,4],[5,6],[7,8]]",
+                       "text": "nullsize"}]},
+        {"image_id": 2, "pdf": "d", "image_size": [800],
+         "annotate": [{"text_region": "not json", "text": "badregion"}]},
+        {"image_id": 3, "pdf": "d", "image_size": [800, 600],
+         "annotate": None},
+        {"image_id": 4, "pdf": "d", "image_size": [800, 600],
+         "annotate": [{"text_region": "[10,10,20,20]", "text": "good"}]},
+    ]
+    (tmp_path / "d.json").write_text(json.dumps(pages))
+    rows = {r["page_id"]: r for r in
+            read_annotations(spark, str(tmp_path)).collect()}
+    # pages with a parseable annotate list each emit their segment
+    assert set(rows) == {0, 1, 2, 4}
+    assert rows[0]["bbox"]["x1"] is None      # zero page side -> NULL bbox
+    assert rows[1]["bbox"]["x1"] is None      # null image_size -> NULL bbox
+    assert rows[2]["bbox"]["x1"] is None      # unparseable text_region
+    assert rows[4]["bbox"]["x1"] == int(10 * (1024 / 800 - 1e-5))
+    assert rows[4]["text"] == "good"
