@@ -224,12 +224,27 @@ def generate(seed: int, out_dir: str) -> None:
 
 
 def main() -> int:
-    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 0
-    out_dir = f"/tmp/ch_pdf_parse_adv/{seed}"
-    generate(seed, out_dir)
-    print(f"generated adversarial tables (seed={seed}) -> {out_dir}")
+    if len(sys.argv) > 1 and sys.argv[1] == "--empty":
+        # 0-row variant of every table (schemas preserved): empty partitions
+        # and empty scan results are a fact of life at 10^12 rows — no query
+        # may crash or diverge on them
+        src = "/tmp/ch_pdf_parse_adv/0"
+        out_dir = "/tmp/ch_pdf_parse_adv/empty"
+        generate(0, src)
+        os.makedirs(out_dir, exist_ok=True)
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(src, f))
+                pq.write_table(t.slice(0, 0), os.path.join(out_dir, f))
+        rest = sys.argv[2:]
+    else:
+        seed = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+        out_dir = f"/tmp/ch_pdf_parse_adv/{seed}"
+        generate(seed, out_dir)
+        rest = sys.argv[2:]
+    print(f"generated adversarial tables -> {out_dir}")
     cmd = [sys.executable, os.path.join(HERE, "check_queries.py"), out_dir,
-           *sys.argv[2:]]
+           *rest]
     return subprocess.call(cmd)
 
 
