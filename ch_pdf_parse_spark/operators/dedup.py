@@ -302,3 +302,83 @@ from ..registry import SQL  # noqa: E402
 SQL["dedup_minhash_lsh"] = _minhash_sql()
 SQL["dedup_simhash"] = _simhash_sql()
 SQL["dedup_ngram_jaccard"] = _jaccard_sql()
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline hygiene: benchmark decontamination + deterministic split
+# ---------------------------------------------------------------------------
+
+DECON_MIN_SHARED = 2  # docs sharing >= 2 distinct 3-grams with eval are out
+
+
+@register(
+    "pipeline_decontaminate",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+         eval_set AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+         csh AS ({SHINGLES_SQL.format(corpus="SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0")}),
+         esh AS (SELECT DISTINCT shingle
+                 FROM ({SHINGLES_SQL.format(corpus="SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0")})),
+         hits AS (SELECT c.doc_id, count(*) AS n_shared
+                  FROM csh c JOIN esh e ON c.shingle = e.shingle
+                  GROUP BY c.doc_id)
+    SELECT doc_id, n_shared
+    FROM hits WHERE n_shared >= {DECON_MIN_SHARED}
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing ≥
+    DECON_MIN_SHARED distinct word 3-grams with the eval set (here the
+    deterministic doc_id % 17 slice stands in for a benchmark suite) — the
+    standard pre-training hygiene step next to dedup.
+
+    Scale shape: the eval side is small by construction (benchmarks are
+    thousands of documents, the corpus is 10^12), so its distinct shingle
+    set is BROADCAST and the contamination join is map-side; the only
+    shuffle is the per-doc count — which, like every shingle aggregation in
+    this module, combines map-side first. The corpus text itself never
+    shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus_sh = shingles(docs.where(F.col("doc_id") % 17 != 0))
+    eval_sh = (shingles(docs.where(F.col("doc_id") % 17 == 0))
+               .select("shingle").distinct())
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id").agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= DECON_MIN_SHARED)
+        .select("doc_id", "n_shared")
+    )
+
+
+SPLIT_BUCKETS = 100
+SPLIT_SALT = "split-v1"
+
+
+@register(
+    "pipeline_hash_split",
+    f"""
+    SELECT doc_id,
+           {_sql_hash("CAST(doc_id AS VARCHAR)", SPLIT_SALT)} % {SPLIT_BUCKETS}
+             AS bucket,
+           CASE WHEN {_sql_hash("CAST(doc_id AS VARCHAR)", SPLIT_SALT)} % {SPLIT_BUCKETS} < 90 THEN 'train'
+                WHEN {_sql_hash("CAST(doc_id AS VARCHAR)", SPLIT_SALT)} % {SPLIT_BUCKETS} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def pipeline_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by salted portable hash of the
+    document key (90/5/5): stable under corpus growth and re-runs (a doc's
+    split never depends on what else is in the corpus), reproducible across
+    engines — the map-only assignment every training pipeline needs before
+    sharding. Both hash operands are non-negative (15 hex digits < 2^60),
+    so plain % is portable; change SPLIT_SALT to draw a fresh split."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (portable_hash(F.col("doc_id").cast("string"), SPLIT_SALT)
+              % SPLIT_BUCKETS)
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise("test").alias("split"),
+    )

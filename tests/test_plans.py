@@ -88,3 +88,25 @@ def test_small_dim_join_broadcasts(spark, docs_df):
     assert "BroadcastHashJoin" in plan, plan
     # the big (documents) side must not shuffle for a broadcast join
     assert not re.search(r"Exchange hashpartitioning\(doc_id", plan), plan
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """Decontamination must broadcast the (small) eval-set shingles and
+    stream the corpus — the corpus text never shuffles; the only exchange is
+    the per-doc hit count on doc_id."""
+    from ch_pdf_parse_spark.operators.dedup import pipeline_decontaminate
+
+    plan = _formatted(pipeline_decontaminate(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    # no exchange may carry the text/shingle payload of the corpus side;
+    # the count agg exchange partitions on doc_id only
+    for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        assert "text#" not in m.group(1), plan
+
+
+def test_hash_split_is_map_only(spark):
+    """The train/val/test assignment is a pure projection — zero exchanges."""
+    from ch_pdf_parse_spark.operators.dedup import pipeline_hash_split
+
+    plan = _formatted(pipeline_hash_split(spark, "/root/testdata/sf0.001"))
+    assert not re.search(r"\bExchange\b", plan), plan
