@@ -153,22 +153,55 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("m4_citations", None)
+@register(
+    "m4_citations",
+    f"""
+    WITH cited AS (
+      SELECT doc_id,
+             coalesce(text, '') || ' 引文[' || (doc_id % 9 + 1) || ']' ||
+             CASE WHEN doc_id % 4 = 0 THEN ' [2,3] [2,3]' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0 THEN ' [10-12] not[a]' ELSE '' END
+               AS body
+      FROM documents),
+    c AS (SELECT doc_id,
+                 unnest(regexp_extract_all(body, '{C.CITATION_REGEX}'))
+                   AS citation
+          FROM cited)
+    SELECT doc_id, citation, count(*) AS n
+    FROM c GROUP BY doc_id, citation
+    """,
+)
 def m4_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M4/CE surrogate: citation-span extraction over the synthetic corpus
-    body text (regex over `[n]`/`[n,m]` markers). The reference computes
+    """M4/CE surrogate: citation-span extraction over body text (regex over
+    `[n]`/`[n,m]`/`[n-m]` markers, constants.CITATION_REGEX — ASCII-only
+    classes, so Java regex and DuckDB's RE2 agree). The reference computes
     token_type and never consumes it (predict/pdf2markdown.py:364); exposed
     as a derived table, excluded from the span-equality invariant.
-    Rows-only check: runs on the fixture corpus, not a registered view."""
-    from ..registry import fixture_docs
 
-    docs = fixture_docs(spark, sf_dir)
-    spans = docs.select("doc_id", F.explode("spans").alias("s"))
+    Deterministic citation markers are injected around the documents text
+    (same pattern as text_main_content's boilerplate injection — the driver
+    corpus has no organic `[n]` markers), so the DuckDB oracle hash-checks
+    real extraction work: per-doc marker, duplicated `[2,3]` (count 2),
+    range `[10-12]`, and a `[a]` negative. Round 2: was rows-only on the
+    fixture corpus."""
+    d = _t(spark, sf_dir, "documents")
+    body = F.concat(
+        F.coalesce(F.col("text"), F.lit("")), F.lit(" 引文["),
+        (F.col("doc_id") % 9 + 1).cast("string"), F.lit("]"),
+        F.when(F.col("doc_id") % 4 == 0, " [2,3] [2,3]").otherwise(""),
+        F.when(F.col("doc_id") % 7 == 0, " [10-12] not[a]").otherwise(""),
+    )
+    cited = d.select("doc_id", body.alias("body"))
     return (
-        spans.select(
+        cited.select(
             "doc_id",
+            # the DataFrame function, NOT F.expr with an f-string: Spark's
+            # SQL literal parser treats backslashes as escapes, silently
+            # mangling the pattern's \[ \- \s (the old rows-only fixture
+            # variant of this query had exactly that latent bug — caught
+            # the moment the query gained a DuckDB oracle)
             F.explode(
-                F.expr(f"regexp_extract_all(s.text, '{C.CITATION_REGEX}', 0)")
+                F.regexp_extract_all("body", F.lit(C.CITATION_REGEX), F.lit(0))
             ).alias("citation"),
         )
         .groupBy("doc_id", "citation")
