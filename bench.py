@@ -8,6 +8,7 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 * q_dedup_minhash      — MinHash+LSH near-dup candidates over documents
 * q_sim_topk           — brute-force cosine top-k over embeddings
 * q_agg_pricing        — TPC-H Q1-shape aggregation over lineitem
+* q_decontaminate      — benchmark decontamination (broadcast eval shingles)
 
 Every run also measures the N→4N scaling pair (local[2] vs local[8], same
 input) and reports throughput at both plus scaling efficiency — the
@@ -135,13 +136,15 @@ def main() -> None:
 
     spark = get_spark("bench-queries", cores=CPUS, shuffle_partitions=max(32, CPUS * 4))
     try:
-        from ch_pdf_parse_spark.operators.dedup import dedup_minhash_lsh
+        from ch_pdf_parse_spark.operators.dedup import (
+            dedup_minhash_lsh, pipeline_decontaminate)
         from ch_pdf_parse_spark.operators.relational_ops import agg_pricing_summary
         from ch_pdf_parse_spark.operators.similarity import sim_topk_bruteforce
 
         for name, fn in [("q_dedup_minhash", dedup_minhash_lsh),
                          ("q_sim_topk", sim_topk_bruteforce),
-                         ("q_agg_pricing", agg_pricing_summary)]:
+                         ("q_agg_pricing", agg_pricing_summary),
+                         ("q_decontaminate", pipeline_decontaminate)]:
             queries[name] = round(
                 _best_stable(lambda: _run(fn(spark, SF_DIR)), runs_min=1,
                              runs_max=3), 3)
