@@ -81,7 +81,10 @@ UNMATCHED_CAPTION = "未找到题注"  # :76,80
 # citation span regex (M4/CE surrogate; the reference computes token_type and
 # never consumes it, /root/reference/predict/pdf2markdown.py:364 — exposed here
 # as an optional derived column, excluded from the equality invariant)
-CITATION_REGEX = r"\[[0-9][0-9,\-\s]*\]"
+# whitespace spelled explicitly, NOT \s: Java regex \s includes \x0B
+# (vertical tab) while DuckDB's RE2 \s does not — a marker containing \x0B
+# would extract on Spark and not on the oracle (code-review find, r2)
+CITATION_REGEX = "\\[[0-9][0-9,\\- \\t\\n\\f\\r]*\\]"
 
 # skew handling: documents with more spans than this are salted page-wise
 # (north_rule; replaces the reference's drop-pages->4200-tokens guard at

@@ -71,8 +71,10 @@ DUP_CORPUS_SQL = """
 """
 
 
-def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams. Map-side only (explode)."""
+def shingles(corpus: DataFrame, n: int = 3, dedupe: bool = True) -> DataFrame:
+    """(doc_id, shingle) — word n-grams, distinct per doc unless ``dedupe``
+    is False (callers that re-distinct on another key skip the per-doc
+    exchange). The explode itself is map-side only."""
     toks = corpus.select("doc_id", F.split("text", " ").alias("l"))
     # NB: Spark's sequence(1, 0) is a DESCENDING [1,0], not empty — guard
     # short docs explicitly (DuckDB's range(1,1) is empty).
@@ -86,7 +88,7 @@ def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    return sh.distinct()
+    return sh.distinct() if dedupe else sh
 
 
 SHINGLES_SQL = """
@@ -316,9 +318,9 @@ DECON_MIN_SHARED = 2  # docs sharing >= 2 distinct 3-grams with eval are out
     f"""
     WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
          eval_set AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
-         csh AS ({SHINGLES_SQL.format(corpus="SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0")}),
+         csh AS ({SHINGLES_SQL.format(corpus="SELECT * FROM corpus")}),
          esh AS (SELECT DISTINCT shingle
-                 FROM ({SHINGLES_SQL.format(corpus="SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0")})),
+                 FROM ({SHINGLES_SQL.format(corpus="SELECT * FROM eval_set")})),
          hits AS (SELECT c.doc_id, count(*) AS n_shared
                   FROM csh c JOIN esh e ON c.shingle = e.shingle
                   GROUP BY c.doc_id)
@@ -340,7 +342,9 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles."""
     docs = _t(spark, sf_dir, "documents")
     corpus_sh = shingles(docs.where(F.col("doc_id") % 17 != 0))
-    eval_sh = (shingles(docs.where(F.col("doc_id") % 17 == 0))
+    # dedupe=False: the per-doc distinct would be discarded by the
+    # shingle-only distinct anyway — one exchange instead of two
+    eval_sh = (shingles(docs.where(F.col("doc_id") % 17 == 0), dedupe=False)
                .select("shingle").distinct())
     return (
         corpus_sh.join(F.broadcast(eval_sh), "shingle")

@@ -53,6 +53,15 @@ NASTY_TEXT = [
     "NULL", "null", "None", "0", "-1", "1e9", "<p>html</p>", "a,b;c|d",
     "ＡＢＣ ０１２", "ﬁligature", "ß SS", "İstanbul", "𝕞𝕒𝕥𝕙 bold",
     "正文内容" * 50, "References\n[1] x", "参考文献", "###equation",
+    # multi-token sentences (>= 5 ws-tokens, stopword-bearing, repeated
+    # across docs): without these the shingle-based operators
+    # (pipeline_decontaminate, pipeline_training_corpus, dedup_*) return 0
+    # rows on every hostile seed and their logic is never exercised
+    "the quick 样本 fox jumps over the lazy 数据 dog",
+    "shared shingle text of the corpus and the eval set alike",
+    "a b c d e f g h a b c d",
+    "the the the of of and and in in is is a",
+    "tokens with [1] markers and the [2,3] citation of a set",
 ]
 
 LANGS = ["zh", "en", "de", None, "", "zz", "ZH"]

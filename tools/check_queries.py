@@ -92,13 +92,23 @@ def main() -> int:
             if not ok_cols:
                 print(f"   spark cols: {sorted(scols)}\n   duck  cols: {sorted(dcols)}")
             elif not ok_hash and srows and drows:
-                key = lambda row: tuple(_norm(v) for v in row)  # noqa: E731
-                sd = sorted(srows, key=key)
-                dd = sorted(drows, key=key)
+                # compare in name-sorted column order (what value_hash uses),
+                # so a cross-engine column-order difference can't misreport
+                # the diverging column
+                sorder = sorted(range(len(scols)), key=lambda i: scols[i])
+                dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                sd = sorted(tuple(_norm(r[i]) for i in sorder) for r in srows)
+                dd = sorted(tuple(_norm(r[i]) for i in dorder) for r in drows)
                 diff = next((i for i, (a, b) in enumerate(zip(sd, dd))
-                             if key(a) != key(b)), 0)
-                print(f"   first differing row (sorted #{diff}):\n"
-                      f"   spark: {sd[diff]}\n   duck : {dd[diff]}")
+                             if a != b), None)
+                if diff is None:
+                    # no zipped pair differs -> the divergence is an
+                    # extra/missing row past the common prefix
+                    diff = min(len(sd), len(dd))
+                srow = sd[diff] if diff < len(sd) else "<no row>"
+                drow = dd[diff] if diff < len(dd) else "<no row>"
+                print(f"   first differing row (sorted #{diff}, cols "
+                      f"{sorted(scols)}):\n   spark: {srow}\n   duck : {drow}")
     spark.stop()
     print("FAILED:", failed if failed else "none")
     return 1 if failed else 0
