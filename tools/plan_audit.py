@@ -180,6 +180,23 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
         "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
         and bool(re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p)))
 
+    # --- decontamination: eval shingles broadcast, corpus streamed --------
+    p = formatted_plan(q["pipeline_decontaminate"](spark, sf_dir))
+    plans["pipeline_decontaminate"] = p
+    add("pipeline_decontaminate", "eval shingles broadcast (BroadcastHashJoin)",
+        "BroadcastHashJoin" in p)
+    ex_inputs = re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", p)
+    add("pipeline_decontaminate", "no exchange carries corpus text",
+        all("text#" not in x for x in ex_inputs),
+        f"{len(ex_inputs)} exchanges")
+
+    # --- hash split: map-only ---------------------------------------------
+    p = formatted_plan(q["pipeline_hash_split"](spark, sf_dir))
+    plans["pipeline_hash_split"] = p
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    add("pipeline_hash_split", "zero Exchange (pure projection)", n_ex == 0,
+        f"{n_ex} exchanges")
+
     # --- composed pipeline: text never shuffles ---------------------------
     p = formatted_plan(q["pipeline_training_corpus"](spark, sf_dir))
     plans["pipeline_training_corpus"] = p
