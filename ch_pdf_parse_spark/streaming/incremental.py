@@ -61,3 +61,20 @@ def windowed_event_stats(events_stream: DataFrame,
             "event_type", "n", "total_value",
         )
     )
+
+
+def dedup_event_stream(events_stream: DataFrame,
+                       watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup on the event key — the streaming twin of
+    ``dedup_exact`` for at-least-once sources (redelivered Kafka batches,
+    retried file drops). ``dropDuplicatesWithinWatermark`` keeps state ONLY
+    for the watermark horizon: a duplicate arriving within ``watermark`` of
+    the first sighting is dropped, and older keys are evicted — bounded
+    state, unlike a naive ``dropDuplicates`` whose key state grows without
+    limit on an unbounded stream (the 100 TB/day concern)."""
+    return (
+        events_stream
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )

@@ -69,3 +69,29 @@ def test_windowed_stats_match_batch(spark, tmp_path):
     # append-mode emits only windows older than the watermark; those emitted
     # must match the batch result exactly
     assert got <= want and len(got) > 0
+
+
+def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
+    """At-least-once redelivery (the same events file landing twice plus a
+    partial re-drop) must come out exactly once per event_id, matching the
+    batch distinct."""
+    from ch_pdf_parse_spark.streaming.incremental import dedup_event_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "dup_in")
+    events.write.mode("overwrite").parquet(src + "/drop1")
+    events.write.mode("overwrite").parquet(src + "/drop2")  # full redelivery
+    events.where(F.col("event_id") % 3 == 0).write.mode("overwrite").parquet(
+        src + "/drop3")  # partial redelivery
+
+    stream = spark.readStream.schema(events.schema).parquet(src + "/*")
+    q = (
+        dedup_event_stream(stream)
+        .writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select event_id from dedup_stream").collect()
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids)), "a duplicate survived"
+    assert set(ids) == {r.event_id for r in events.collect()}
