@@ -88,8 +88,14 @@ CITATION_REGEX = "\\[[0-9][0-9,\\- \\t\\n\\f\\r]*\\]"
 
 # skew handling: documents with more spans than this are salted page-wise
 # (north_rule; replaces the reference's drop-pages->4200-tokens guard at
-# /root/reference/train/preprocess.py:568-571). Threshold rationale: the
-# inline kernel costs ~2.5ms per ~200 spans, so a 20k-span doc is ~250ms —
-# salting (explode + 2 narrow shuffles of just that doc) only pays once a
-# single doc would stall its partition for seconds.
-SALT_SPAN_THRESHOLD = 20_000
+# /root/reference/train/preprocess.py:568-571). Threshold rationale —
+# MEASURED, r2: a single-monster experiment (zero-shuffle straggler vs the
+# salted explode + 2 shuffles, local[32]) shows the salted path LOSES until
+# well past 2M spans (unsalted/salted wall: 0.59x @200k, 0.75x @800k,
+# 0.84x @2M — the per-span shuffle+applyInPandas cost exceeds the kernel's
+# ~6s/M-span straggler, and a network shuffle on a real cluster only makes
+# the salted side worse). The binding constraint below ~1M spans is not
+# wall time but per-task MEMORY: one doc's spans must fit a single Arrow
+# batch + kernel arrays (~100 B/span -> ~50 MB at 500k), so the threshold
+# sits where memory says, not where the old 250ms-straggler argument did.
+SALT_SPAN_THRESHOLD = 500_000
