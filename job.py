@@ -1,9 +1,17 @@
 """spark-submit entry point (north_rule packaging).
 
     python tools/make_submit_zip.py           # builds ch_pdf_parse_spark.zip
-    spark-submit --py-files /tmp/ch_pdf_parse_spark.zip job.py \
+    spark-submit --driver-memory 16g \
+        --py-files /tmp/ch_pdf_parse_spark.zip job.py \
         --input <documents parquet/iceberg ref> \
-        --output <output dir> [--buckets 64] [--cores N]
+        --output <output dir> [--buckets 64] [--cores N] [--parallelism 8]
+
+``--driver-memory 16g`` is required in local mode: spark-submit creates the
+JVM BEFORE get_spark's config can apply, so the session's heap sizing is
+silently ignored and the default 1g heap OOMs the vectorized parquet reader
+on wide nested rows (heap must cover concurrent scan tasks × reader-batch
+bytes — BENCH/BASELINE.md). On a real cluster the same rule applies to
+``--executor-memory``.
 
 Runs the flagship extraction with per-partition lineage; re-running after a
 kill resumes without recomputing completed buckets (sources/lineage.py).
@@ -50,6 +58,16 @@ def main() -> None:
     spark = get_spark("ch-pdf-parse-extract", cores=args.cores)
     t0 = time.time()
     docs = read_table(spark, args.input)
+    # fail fast with a readable message BEFORE the staging copy: a wrong
+    # table (e.g. a text corpus without spans) otherwise surfaces as an
+    # unresolved-column plan dump after a full wasted input pass
+    missing = {"doc_id", "spans"} - set(docs.columns)
+    if missing:
+        sys.exit(f"job.py: input {args.input} lacks required column(s) "
+                 f"{sorted(missing)}; schema is "
+                 f"{docs.schema.simpleString()} — expected the interleaved "
+                 f"corpus (doc_id, spans array<struct<kind,text,media_ref,"
+                 f"offset>>)")
     if args.no_lineage:
         write_table(extract_documents(docs), args.output)
         computed = ["all"]
