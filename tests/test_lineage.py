@@ -115,3 +115,25 @@ def test_inplace_overwrite_detected_via_stat(spark, tmp_path):
     spark.catalog.refreshByPath(src)  # drop the cached file index/footers
     with pytest.raises(ValueError, match="different input"):
         L.run_with_lineage(spark, spark.read.parquet(src), out, n_buckets=2)
+
+
+def test_job_rejects_wrong_schema_before_staging(spark, tmp_path, monkeypatch):
+    """job.py must fail fast with a readable message when the input lacks the
+    interleaved-corpus columns — BEFORE the staging copy wastes a full input
+    pass (found driving the spark-submit surface against a text corpus)."""
+    import sys
+
+    import job
+
+    bad = str(tmp_path / "bad_in")
+    spark.createDataFrame([(1, "just text")], "doc_id long, text string") \
+        .write.parquet(bad)
+    out = str(tmp_path / "out")
+    monkeypatch.setattr(sys, "argv",
+                        ["job.py", "--input", bad, "--output", out])
+    # job.main() would spark.stop() our session fixture via sys.exit paths
+    # only AFTER the guard; the guard raises SystemExit first
+    with pytest.raises(SystemExit) as e:
+        job.main()
+    assert "spans" in str(e.value) and "expected the interleaved" in str(e.value)
+    assert not os.path.exists(os.path.join(out, "_staged"))

@@ -237,7 +237,7 @@ def main() -> int:
         # 0-row variant of every table (schemas preserved): empty partitions
         # and empty scan results are a fact of life at 10^12 rows — no query
         # may crash or diverge on them
-        src = "/tmp/ch_pdf_parse_adv/0"
+        src = "/tmp/ch_pdf_parse_adv/seed0"
         out_dir = "/tmp/ch_pdf_parse_adv/empty"
         generate(0, src)
         os.makedirs(out_dir, exist_ok=True)
@@ -248,7 +248,11 @@ def main() -> int:
         rest = sys.argv[2:]
     else:
         seed = int(sys.argv[1]) if len(sys.argv) > 1 else 0
-        out_dir = f"/tmp/ch_pdf_parse_adv/{seed}"
+        # "seed<N>", NOT a bare number: registry.fixture_docs derives the
+        # fixture scale from the dir basename (float("21") -> a SCALE-21
+        # corpus, gigabytes of fixtures and a >1 GiB driver collect);
+        # a non-numeric tag falls back to the standard sf0.01 fixtures
+        out_dir = f"/tmp/ch_pdf_parse_adv/seed{seed}"
         generate(seed, out_dir)
         rest = sys.argv[2:]
     print(f"generated adversarial tables -> {out_dir}")
