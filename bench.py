@@ -35,11 +35,15 @@ FIXTURE_BASE = os.environ.get("SPARK_GRAFT_FIXTURE_DIR", "/root/repo/.fixtures")
 
 
 def _sf_of(sf_dir: str) -> float:
+    # only an explicit sf<N> basename selects a scale (same guard as
+    # registry.fixture_docs: a bare numeric dir must not become a corpus size)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    try:
-        return float(tag.replace("sf", ""))
-    except ValueError:
-        return 0.1
+    if tag.startswith("sf"):
+        try:
+            return float(tag[2:])
+        except ValueError:
+            pass
+    return 0.1
 
 
 def bench_corpus_dir(sf: float, n_docs: int | None = None):

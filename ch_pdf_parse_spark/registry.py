@@ -101,11 +101,16 @@ def fixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sf, seed=42) — BASELINE.json: 'synthesise it deterministically at small
     scale for tests and benchmarks; no external data'.
     """
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
-    try:
-        sf = float(tag.replace("sf", ""))
-    except ValueError:
-        sf = 0.01
+    # only an explicit sf<N> basename selects a scale; anything else (a seed
+    # dir, a temp path) gets the standard test scale — a bare numeric tag
+    # once parsed as scale 21 and generated a 1.4 GB fixture corpus
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    sf = 0.01
+    if tag.startswith("sf"):
+        try:
+            sf = float(tag[2:])
+        except ValueError:
+            pass
     out = fixtures.write_corpus(sf, base="/tmp/ch_pdf_parse_fixtures")
     return spark.read.parquet(os.path.join(out, "documents.parquet"))
 
