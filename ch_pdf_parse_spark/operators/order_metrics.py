@@ -134,7 +134,8 @@ def o_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver proves the pairwise formulation reproduces it row-for-row
     """
     SELECT l_orderkey, l_linenumber,
-           300 - ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+           300 - ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_linenumber NULLS FIRST)
              AS order_score
     FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
     """,
@@ -150,16 +151,23 @@ def m3b_pairwise_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     not row_number())."""
     base = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber").distinct()
+    # A NULL l_linenumber would make both pair predicates three-valued: the
+    # null row joins nothing AND every non-null row silently loses its pair
+    # against it (one win short per row). Coalesce to a below-range sentinel
+    # so the comparator is strict and total, with NULL ranking first — the
+    # same order the oracle pins via NULLS FIRST. Output keeps the raw value.
+    base = base.withColumn(
+        "k", F.coalesce(F.col("l_linenumber").cast("long"), F.lit(-(1 << 62))))
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
         b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_linenumber") != F.col("b.l_linenumber")), "left")
+        & (F.col("a.k") != F.col("b.k")), "left")
     wins = pairs.groupBy(
         F.col("a.l_orderkey").alias("l_orderkey"),
         F.col("a.l_linenumber").alias("l_linenumber"),
     ).agg(
         # n==1 groups left-join to null → comparator null → otherwise(0)
-        F.sum(F.when(F.col("a.l_linenumber") < F.col("b.l_linenumber"), 1)
+        F.sum(F.when(F.col("a.k") < F.col("b.k"), 1)
               .otherwise(0)).alias("wins"))
     n = F.count("*").over(Window.partitionBy("l_orderkey"))
     return wins.select(

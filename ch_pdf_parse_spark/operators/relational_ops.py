@@ -87,9 +87,11 @@ def a_group_concat_empty_sep(spark, sf_dir):
     ),
     s AS (
       SELECT user_id, event_id, value,
-             sum(is_new) OVER (PARTITION BY user_id
-                               ORDER BY ts NULLS FIRST, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             -- BIGINT cast: DuckDB integer sum() yields HUGEINT, which exports
+             -- via Arrow as decimal128(38,0) and hash-mismatches Spark's long
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts NULLS FIRST, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM t
     )
     SELECT user_id, session_id, count(*) AS n_events,

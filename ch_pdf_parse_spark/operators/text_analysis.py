@@ -312,8 +312,10 @@ def text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM filtered GROUP BY md5(text))
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_copies) - count(*) AS n_dups_removed,
-           sum(n_tokens) AS total_tokens,
+           -- BIGINT casts: DuckDB integer sum() yields HUGEINT → Arrow
+           -- decimal128(38,0) → driver hash mismatch vs Spark's long
+           CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dups_removed,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            CAST(CAST(CAST((sum(n_tokens) * 1.0 / count(*)) AS DOUBLE) AS DECIMAL(38,2)) AS DOUBLE) AS avg_tokens
     FROM deduped GROUP BY lang
     """,
