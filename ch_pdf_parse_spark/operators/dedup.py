@@ -13,13 +13,19 @@ Scale notes (the plans are the ones you'd run on a 1000-executor cluster):
 * shingling + min-hash is map-side only (explode → partial min agg);
 * the only shuffles are the band-bucket self-join (LSH's point: candidates,
   not all pairs) and the final distinct;
-* hot buckets (degenerate shingles) are AQE-skew-join handled; a production
-  guard would also cap bucket width — see ``lsh_candidate_pairs``.
+* hot buckets (degenerate shingles) are AQE-skew-join handled AND hard-capped:
+  the candidate self-joins in ``ngram_jaccard`` / ``simhash_pairs`` drop any
+  bucket wider than ``NGRAM_DF_CAP`` / ``SIMHASH_BUCKET_CAP`` before joining,
+  bounding a bucket's pair contribution to CAP² — without the cap one
+  stop-shingle ("of the and") shared by 10^9 docs makes that bucket
+  quadratic. The cap is applied IDENTICALLY in the DuckDB oracles (QUALIFY on
+  the same window count), so capped semantics are cross-engine exact, and it
+  is far above any sf-scale bucket width, so sf output is unchanged.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import quantize, register, _t
 
@@ -27,6 +33,19 @@ N_MINHASH = 16
 N_BANDS = 4  # 4 rows per band
 SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4  # 15 bits each; hamming<=threshold pairs share >=1 chunk
+
+# Hot-bucket guards. A shingle in > NGRAM_DF_CAP documents is a stop-shingle:
+# it contributes nothing to discriminating near-duplicates but DF² join rows;
+# dropping it changes Jaccard semantics to "Jaccard over discriminative
+# shingles" (numerator AND both set sizes computed post-cap, so the measure
+# stays a true Jaccard on the reduced universe). Same shape for SimHash chunk
+# buckets — there the cap trades recall (the pigeonhole guarantee already only
+# covers hamming ≤ SIMHASH_CHUNKS-1); at 10^12 docs you additionally widen the
+# 15-bit chunks so expected bucket width stays O(CAP) (more chunk bits per
+# doubling, the standard SimHash scaling), the cap is the backstop that keeps
+# an adversarial hot bucket from going quadratic regardless.
+NGRAM_DF_CAP = 5000
+SIMHASH_BUCKET_CAP = 5000
 
 
 # ---------------------------------------------------------------------------
@@ -190,19 +209,26 @@ def simhash(sh: DataFrame) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_pairs(simdf: DataFrame, max_hamming: int = 10) -> DataFrame:
+def simhash_pairs(simdf: DataFrame, max_hamming: int = 10,
+                  bucket_cap: int = SIMHASH_BUCKET_CAP) -> DataFrame:
     """Chunk-bucketed candidate join (4 × 15-bit chunks) + exact hamming
-    filter. Hamming ≤ 10 over 4 chunks ⇒ at least one chunk equal only when
-    hamming ≤ 45/…: for the candidate guarantee we bucket on each chunk —
-    pairs missing in all 4 chunks have hamming ≥ 4, fine for ≤10? No: the
-    pigeonhole guarantee is hamming ≤ 3 ⇒ some chunk equal; larger radii are
-    best-effort recall, exactly like production SimHash dedup."""
+    filter. The pigeonhole guarantee is hamming ≤ 3 ⇒ some chunk equal;
+    larger radii are best-effort recall, exactly like production SimHash
+    dedup.
+
+    Hot-bucket guard: buckets wider than ``bucket_cap`` are dropped before
+    the self-join (window count partitions by the same key the join shuffles
+    on, so the guard reuses the join's exchange — no extra shuffle). Bounded
+    recall loss on pathological buckets beats a CAP²→width² quadratic join."""
     chunks = simdf.select(
         "doc_id", "simhash",
         F.posexplode(F.array(*[
             F.expr(f"(simhash >> {15 * c}) & 32767") for c in range(SIMHASH_CHUNKS)
         ])).alias("chunk", "ckey"),
     )
+    wb = Window.partitionBy("chunk", "ckey")
+    chunks = (chunks.withColumn("bw", F.count("*").over(wb))
+              .where(F.col("bw") <= bucket_cap).drop("bw"))
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
@@ -217,7 +243,8 @@ def simhash_pairs(simdf: DataFrame, max_hamming: int = 10) -> DataFrame:
     )
 
 
-def _simhash_sql(max_hamming: int = 10) -> str:
+def _simhash_sql(max_hamming: int = 10,
+                 bucket_cap: int = SIMHASH_BUCKET_CAP) -> str:
     sums = ", ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
         for j in range(SIMHASH_BITS)
@@ -234,8 +261,11 @@ def _simhash_sql(max_hamming: int = 10) -> str:
          hs AS (SELECT doc_id, {_sql_hash('shingle')} AS h FROM sh),
          bits AS (SELECT doc_id, {sums} FROM hs GROUP BY doc_id),
          sim AS (SELECT doc_id, {simexpr} AS simhash FROM bits),
-         chunks AS (SELECT doc_id, simhash, unnest([{ckeys}]) AS ckey,
-                           unnest([{cidx}]) AS chunk FROM sim)
+         chunks0 AS (SELECT doc_id, simhash, unnest([{ckeys}]) AS ckey,
+                            unnest([{cidx}]) AS chunk FROM sim),
+         chunks AS (SELECT doc_id, simhash, ckey, chunk FROM chunks0
+                    QUALIFY count(*) OVER (PARTITION BY chunk, ckey)
+                            <= {bucket_cap})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT))::BIGINT AS hamming
     FROM chunks a JOIN chunks b
@@ -257,11 +287,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_ngram_jaccard", None)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        df_cap: int = NGRAM_DF_CAP) -> DataFrame:
     """Exact Jaccard over word 3-gram shingle *sets*, candidate pairs from the
-    shared-shingle inverted index (never all-pairs)."""
+    shared-shingle inverted index (never all-pairs).
+
+    Hot-bucket guard: shingles in more than ``df_cap`` documents are removed
+    from the universe BEFORE sizes and the self-join — both the numerator and
+    the set sizes see the same reduced universe, so the score stays a true
+    Jaccard (over discriminative shingles) and one stop-shingle can't make a
+    DF² join bucket. The window count partitions by the join key, so Catalyst
+    reuses one exchange for guard + join."""
     corpus = with_dup_corpus(_t(spark, sf_dir, "documents"))
     sh = shingles(corpus)
+    wdf = Window.partitionBy("shingle")
+    sh = (sh.withColumn("df", F.count("*").over(wdf))
+          .where(F.col("df") <= df_cap).drop("df"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -280,10 +321,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
     )
 
 
-def _jaccard_sql(threshold: float = 0.5) -> str:
+def _jaccard_sql(threshold: float = 0.5, df_cap: int = NGRAM_DF_CAP) -> str:
     sh = SHINGLES_SQL.format(corpus=DUP_CORPUS_SQL)
     return f"""
-    WITH sh AS ({sh}),
+    WITH sh0 AS ({sh}),
+         sh AS (SELECT doc_id, shingle FROM sh0
+                QUALIFY count(*) OVER (PARTITION BY shingle) <= {df_cap}),
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
                     FROM sh a JOIN sh b

@@ -130,12 +130,14 @@ def sample_video_frames(media: DataFrame, every: int = 4) -> DataFrame:
 
 @register("multimodal_features", None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media corpus → deterministic decode-stub features (rows-only
-    check: binary columns are not SQL-oracle-comparable)."""
+    """Binary media corpus → deterministic decode-stub features. Hash-checked
+    against the golden parquet oracle (golden.py::_media_rows): f0 is emitted
+    as the RAW float32 feature — the UDF already rounds to 3 decimals, and a
+    further F.round on float32 would reintroduce engine-round semantics."""
     media = synthesize_media(fixture_docs(spark, sf_dir))
     return extract_media_features(media).select(
         "doc_id", "media_ref", "media_type", "n_bytes",
-        F.round(F.element_at("feature", 1), 3).alias("f0"))
+        F.element_at("feature", 1).alias("f0"))
 
 
 @register(

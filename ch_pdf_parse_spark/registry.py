@@ -21,9 +21,10 @@ tables):
   on x/0 while DuckDB yields ±inf.
 
 Extraction-pipeline entries run on the deterministic synthetic interleaved
-corpus (fixtures.py) — not SQL-expressible, so they are registered without an
-oracle (the driver records a rows-only check; the real equality gate is
-tests/test_pipeline.py against the golden oracle).
+corpus (fixtures.py) — not SQL-*recomputable*, so their oracles are
+golden-parquet SELECTs materialized from the pure-Python oracle
+(golden.py / core.extract_document): the driver hash-verifies the flagship
+against the same expected rows the pytest goldens pin.
 """
 
 from __future__ import annotations
@@ -94,6 +95,21 @@ def q_sql(expr: str, scale: int = 4) -> str:
             f"AS DOUBLE)")
 
 
+def _sf_of_dir(sf_dir: str) -> float:
+    """Scale factor encoded in a driver dir's basename.
+
+    Only an explicit sf<N> basename selects a scale; anything else (a seed
+    dir, a temp path) gets the standard test scale — a bare numeric tag
+    once parsed as scale 21 and generated a 1.4 GB fixture corpus."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    if tag.startswith("sf"):
+        try:
+            return float(tag[2:])
+        except ValueError:
+            pass
+    return 0.01
+
+
 def fixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synthetic interleaved-documents corpus scaled like sf_dir.
 
@@ -101,17 +117,8 @@ def fixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sf, seed=42) — BASELINE.json: 'synthesise it deterministically at small
     scale for tests and benchmarks; no external data'.
     """
-    # only an explicit sf<N> basename selects a scale; anything else (a seed
-    # dir, a temp path) gets the standard test scale — a bare numeric tag
-    # once parsed as scale 21 and generated a 1.4 GB fixture corpus
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    sf = 0.01
-    if tag.startswith("sf"):
-        try:
-            sf = float(tag[2:])
-        except ValueError:
-            pass
-    out = fixtures.write_corpus(sf, base="/tmp/ch_pdf_parse_fixtures")
+    out = fixtures.write_corpus(_sf_of_dir(sf_dir),
+                                base="/tmp/ch_pdf_parse_fixtures")
     return spark.read.parquet(os.path.join(out, "documents.parquet"))
 
 
@@ -408,8 +415,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    """All oracle SQL, including the golden-parquet oracles for the queries
+    whose semantics SQL cannot recompute (XY-cut extraction, decode-stub
+    features): those return the expected rows from deterministic parquet
+    materialized by the same pure-Python oracles the pytest goldens trust
+    (golden.py). The golden scale follows CHPDF_ORACLE_SF_DIR (the driver
+    compares at /root/testdata/sf0.01, the default; tools/check_queries.py
+    sets it to whatever sf dir it is run against)."""
     _load_operator_modules()
-    return dict(SQL)
+    out = dict(SQL)
+    from . import golden
+
+    sf_dir = os.environ.get("CHPDF_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    out.update(golden.golden_sql(_sf_of_dir(sf_dir),
+                                 base="/tmp/ch_pdf_parse_fixtures"))
+    return out
 
 
 def _load_operator_modules() -> None:

@@ -66,3 +66,25 @@ def test_xycut_agreement_on_fuzz_corpus(spark):
     got = _corr(spark, rows)
     assert len(got) == 150
     assert all(v[1] == 1.0 and v[2] == 1.0 for v in got.values())
+
+
+def test_m3b_pairwise_rank_null_linenumber(spark, tmp_path):
+    """A NULL l_linenumber must rank first (NULLS FIRST contract) and must not
+    silently shrink every other row's win count through three-valued pair
+    predicates (round-3 ADVICE: scores came out (298,297,297) instead of
+    (299,298,297) for linenumbers (1,2,NULL) before the sentinel coalesce)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ch_pdf_parse_spark.operators.order_metrics import m3b_pairwise_rank
+
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array([1, 1, 1, 2], pa.int64()),
+            "l_linenumber": pa.array([1, 2, None, 5], pa.int32()),
+        }),
+        str(tmp_path / "lineitem.parquet"))
+    got = {(r["l_orderkey"], r["l_linenumber"]): r["order_score"]
+           for r in m3b_pairwise_rank(spark, str(tmp_path)).collect()}
+    # order 1: NULL first (score 299), then 1, then 2; order 2: singleton
+    assert got == {(1, None): 299, (1, 1): 298, (1, 2): 297, (2, 5): 299}

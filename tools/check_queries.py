@@ -152,6 +152,9 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    # golden-parquet oracles (extraction/multimodal) materialize at the scale
+    # this run compares at — the driver itself uses the sf0.01 default
+    os.environ["CHPDF_ORACLE_SF_DIR"] = sf_dir
     qs, sqls = entrymod.queries(), entrymod.oracle_sql()
     failed = []
     for name, fn in qs.items():
