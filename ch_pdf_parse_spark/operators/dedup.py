@@ -60,7 +60,10 @@ def portable_hash(col, salt: str | None = None):
 
 
 def _sql_hash(expr: str, salt: str | None = None) -> str:
-    e = f"concat('{salt}:', {expr})" if salt is not None else expr
+    # '||', never concat(): DuckDB's concat() SKIPS null args while Spark's
+    # propagates them, so a NULL key would hash as just the salt on one
+    # engine and stay NULL on the other (tools/adversarial_gate.py seed 31)
+    e = f"('{salt}:' || ({expr}))" if salt is not None else expr
     return f"CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
 
 
@@ -333,11 +336,11 @@ def _jaccard_sql(threshold: float = 0.5, df_cap: int = NGRAM_DF_CAP) -> str:
                       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                     GROUP BY 1, 2)
     SELECT doc_a, doc_b,
-           CAST(CAST(CAST((shared / (na.n + nb.n - shared)) AS DOUBLE) AS DECIMAL(38,4)) AS DOUBLE) AS jaccard
+           CAST(CAST(CAST(CAST((shared / (na.n + nb.n - shared)) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS jaccard
     FROM shared
     JOIN sizes na ON na.doc_id = doc_a
     JOIN sizes nb ON nb.doc_id = doc_b
-    WHERE CAST(CAST(CAST((shared / (na.n + nb.n - shared)) AS DOUBLE) AS DECIMAL(38,4)) AS DOUBLE) >= {threshold}
+    WHERE CAST(CAST(CAST(CAST((shared / (na.n + nb.n - shared)) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) >= {threshold}
     """
 
 

@@ -111,10 +111,10 @@ def rank_correlation(df: DataFrame, group: str, x: str, y: str,
            GROUP BY a.g)
     SELECT sp.g AS l_orderkey, sp.n,
            CASE WHEN sp.n >= 2
-                THEN CAST(CAST(CAST((1.0 - 6.0 * d2 / (sp.n * (sp.n * sp.n - 1))) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE)
+                THEN CAST(CAST(CAST(CAST((1.0 - 6.0 * d2 / (sp.n * (sp.n * sp.n - 1))) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE)
            END AS spearman_rho,
            CASE WHEN sp.n >= 2
-                THEN CAST(CAST(CAST((2.0 * cd / (sp.n * (sp.n - 1))) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE)
+                THEN CAST(CAST(CAST(CAST((2.0 * cd / (sp.n * (sp.n - 1))) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE)
            END AS kendall_tau
     FROM sp LEFT JOIN kd ON kd.g = sp.g
     """,
@@ -159,8 +159,12 @@ def m3b_pairwise_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base.withColumn(
         "k", F.coalesce(F.col("l_linenumber").cast("long"), F.lit(-(1 << 62))))
     a, b = base.alias("a"), base.alias("b")
+    # eqNullSafe: a NULL l_orderkey is one group to groupBy/window PARTITION
+    # BY on both engines, so the pairwise join must also treat it as one
+    # group — plain == would leave every NULL-group row pairless (gate seed
+    # 31: Spark scored the NULL group n-deep while the oracle ranked it)
     pairs = a.join(
-        b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        b, F.col("a.l_orderkey").eqNullSafe(F.col("b.l_orderkey"))
         & (F.col("a.k") != F.col("b.k")), "left")
     wins = pairs.groupBy(
         F.col("a.l_orderkey").alias("l_orderkey"),

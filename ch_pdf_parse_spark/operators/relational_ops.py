@@ -95,7 +95,7 @@ def a_group_concat_empty_sep(spark, sf_dir):
       FROM t
     )
     SELECT user_id, session_id, count(*) AS n_events,
-           CAST(CAST(CAST((CAST(sum(value::DECIMAL(38,6)) AS DOUBLE)) AS DOUBLE) AS DECIMAL(38,4)) AS DOUBLE) AS session_value
+           CAST(CAST(CAST(CAST((CAST(sum(value::DECIMAL(38,6)) AS DOUBLE)) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS session_value
     FROM s GROUP BY user_id, session_id
     """,
 )
@@ -176,15 +176,18 @@ def j_equijoin_broadcast(spark, sf_dir):
     "o_order_reversal",
     """
     SELECT l_orderkey, l_linenumber,
-           300 - ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+           300 - ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_linenumber NULLS FIRST)
              AS order_score
     FROM lineitem
     """,
 )
 def o_order_reversal(spark, sf_dir):
     """O3: reversed order labels order_id = 300 - i (train/preprocess.py:580-581
-    — why bigger score means earlier in the reading-order sort O1)."""
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    — why bigger score means earlier in the reading-order sort O1). NULLS
+    FIRST pinned in the oracle: Spark's bare ASC is nulls-first, DuckDB's is
+    nulls-last (tools/adversarial_gate.py seed 31, null order keys)."""
+    w = Window.partitionBy("l_orderkey").orderBy(F.asc_nulls_first("l_linenumber"))
     return _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber",
         (F.lit(300) - F.row_number().over(w)).cast("long").alias("order_score"))
@@ -219,7 +222,7 @@ def a_markdown_fold(spark, sf_dir):
     SELECT p_partkey,
            string_split(p_type, ' ')[-1] AS last_word,
            '![](' || p_brand || ')' AS md_image,
-           CAST(CAST(CAST((sqrt(power(p_size, 2) + power(p_retailprice / 100, 2))) AS DOUBLE) AS DECIMAL(38,4)) AS DOUBLE) AS dist,
+           CAST(CAST(CAST(CAST((sqrt(power(p_size, 2) + power(p_retailprice / 100, 2))) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS dist,
            CAST(floor(p_size * (1024.0 / 50 - 0.00001)) AS BIGINT) AS scaled,
            substr(p_name, 1, greatest(length(p_name) - 4, 0)) AS stem
     FROM part
@@ -265,7 +268,7 @@ def s_union_all(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price,
-           CAST(CAST(CAST((CAST(sum(CAST(l_discount AS DECIMAL(38,2))) AS DOUBLE) / count(*)) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE)
+           CAST(CAST(CAST(CAST((CAST(sum(CAST(l_discount AS DECIMAL(38,2))) AS DOUBLE) / count(*)) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE)
              AS avg_disc,
            count(*) AS n
     FROM lineitem
@@ -347,7 +350,7 @@ def m_need_info_gate(spark, sf_dir):
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n,
-           CAST(CAST(CAST((CAST(sum(value::DECIMAL(38,6)) AS DOUBLE)) AS DOUBLE) AS DECIMAL(38,4)) AS DOUBLE) AS total_value
+           CAST(CAST(CAST(CAST((CAST(sum(value::DECIMAL(38,6)) AS DOUBLE)) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS total_value
     FROM events
     WHERE ts IS NOT NULL  -- windowing is defined on event time only; Spark's
                           -- window(ts) silently drops null-ts rows

@@ -202,7 +202,7 @@ def _banded_pair_scores(left: DataFrame, right: DataFrame, pair_pred,
                   ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY c DESC, neighbor_id) AS rank
            FROM scored)
-    SELECT query_id, neighbor_id, rank, CAST(CAST(CAST((c) AS DOUBLE) AS DECIMAL(38,3)) AS DOUBLE) AS cos
+    SELECT query_id, neighbor_id, rank, CAST(CAST(CAST(CAST((c) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,3)) AS DOUBLE) AS cos
     FROM ranked WHERE rank <= {TOPK}
     """,
 )
@@ -313,7 +313,7 @@ def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                   {_duck_cos('a.v', 'b.v')} AS c
            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
-    SELECT vec_a, vec_b, CAST(CAST(CAST((c) AS DOUBLE) AS DECIMAL(38,2)) AS DOUBLE) AS cos
+    SELECT vec_a, vec_b, CAST(CAST(CAST(CAST((c) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,2)) AS DOUBLE) AS cos
     FROM pairs WHERE c > 0.95
     """,
 )

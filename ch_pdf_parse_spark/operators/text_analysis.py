@@ -74,10 +74,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            length(text) AS n_chars2,
            len(l) AS n_tokens,
-           CAST(CAST(CAST((length(text) * 1.0 / greatest(len(l), 1)) AS DOUBLE) AS DECIMAL(38,4)) AS DOUBLE) AS avg_tok_len,
-           CAST(CAST(CAST(({_stop_ratio_sql("l")}) AS DOUBLE) AS DECIMAL(38,4)) AS DOUBLE) AS stopword_ratio,
-           CAST(CAST(CAST((len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0
-                 / greatest(length(text), 1)) AS DOUBLE) AS DECIMAL(38,4)) AS DOUBLE) AS punct_ratio
+           CAST(CAST(CAST(CAST((length(text) * 1.0 / greatest(len(l), 1)) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS avg_tok_len,
+           CAST(CAST(CAST(CAST(({_stop_ratio_sql("l")}) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS stopword_ratio,
+           CAST(CAST(CAST(CAST((len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0
+                 / greatest(length(text), 1)) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS punct_ratio
     FROM t
     """,
 )
@@ -227,8 +227,11 @@ _BP_DUCK = ("contains(x, '|') OR starts_with(x, 'Copyright') "
                'Advertisement',
                text,
                'Related articles | More from this site',
-               concat('Copyright 2026 site ', doc_id % 10,
-                      '. All rights reserved.')) AS html
+               -- '||', not concat(): DuckDB concat() skips NULL args, Spark's
+               -- propagates — on NULL doc_id the line must vanish on BOTH
+               -- engines (concat_ws skips the NULL element identically)
+               ('Copyright 2026 site ' || (doc_id % 10) ||
+                '. All rights reserved.')) AS html
       FROM documents),
     lines AS (SELECT doc_id, string_split(html, chr(10)) AS l FROM page),
     kept AS (SELECT doc_id,
@@ -248,15 +251,18 @@ def text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Main-content extraction / boilerplate strip (north_rule: 'HTML
     boilerplate strip ... DOM heuristics'): deterministic nav/ad/footer
     chrome is injected around each document's text, then stripped back out
-    by line-level heuristics — the jusText/readability shape as relational
-    ops: explode lines -> classify per line -> re-nest in line order.
+    by line-level heuristics — the jusText/readability shape: split lines ->
+    classify per line -> keep content lines in order.
 
-    Scale notes: the explode is map-side only and the single shuffle is the
-    per-doc re-nest on doc_id (at 100 TB: pre-bucketed by doc_id = zero
-    shuffle); the line classifier is a pure column predicate (whole-stage
-    codegen), so boilerplate never reaches the expensive downstream
-    operators — the same work-avoidance rewrite as the reference's
-    whiteout-before-OCR (/root/reference/predict/ppocr_server.py:115)."""
+    Scale notes: a document's lines already live in one row, so the whole
+    strip is a per-row higher-order ``filter`` — ZERO shuffles, fully inside
+    whole-stage codegen. (An earlier explode→groupBy re-nest formulation
+    paid a shuffle AND merged every NULL-doc_id document into one group —
+    per-record semantics, like the oracle's per-row list_filter, have no
+    such key dependence; tools/adversarial_gate.py seed 31.) Boilerplate
+    never reaches the expensive downstream operators — the same
+    work-avoidance rewrite as the reference's whiteout-before-OCR
+    (/root/reference/predict/ppocr_server.py:115)."""
     d = _t(spark, sf_dir, "documents")
     page = d.select(
         "doc_id",
@@ -270,21 +276,13 @@ def text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit(". All rights reserved.")),
         ).alias("html"),
     )
-    lines = page.select(
-        "doc_id", F.posexplode(F.split("html", "\n")).alias("pos", "line"))
-    classified = lines.withColumn("is_bp", F.expr(_BP_SPARK))
-    return (
-        classified.groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.when(
-                        ~F.col("is_bp"), F.struct("pos", "line")))),
-                    lambda x: x["line"]), "\n").alias("main_content"),
-            F.sum(F.when(~F.col("is_bp"), 1).otherwise(0))
-            .cast("long").alias("n_kept"),
-            F.sum(F.col("is_bp").cast("int")).cast("long").alias("n_dropped"),
-        )
+    t = page.select("doc_id", F.split("html", "\n").alias("l"))
+    keep = F.expr(f"filter(l, line -> NOT ({_BP_SPARK}))")
+    return t.select(
+        "doc_id",
+        F.array_join(keep, "\n").alias("main_content"),
+        F.size(keep).cast("long").alias("n_kept"),
+        (F.size("l") - F.size(keep)).cast("long").alias("n_dropped"),
     )
 
 
@@ -316,7 +314,7 @@ def text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- decimal128(38,0) → driver hash mismatch vs Spark's long
            CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dups_removed,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           CAST(CAST(CAST((sum(n_tokens) * 1.0 / count(*)) AS DOUBLE) AS DECIMAL(38,2)) AS DOUBLE) AS avg_tokens
+           CAST(CAST(CAST(CAST((sum(n_tokens) * 1.0 / count(*)) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,2)) AS DOUBLE) AS avg_tokens
     FROM deduped GROUP BY lang
     """,
 )

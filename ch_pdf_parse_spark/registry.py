@@ -38,6 +38,11 @@ from . import fixtures
 
 Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 SQL: dict[str, str] = {}
+# oracles whose SQL depends on the comparison corpus (e.g. a k-means codebook
+# trained on a deterministic sample of it): name -> fn(sf_dir) -> SQL string,
+# resolved in oracle_sql() with the same CHPDF_ORACLE_SF_DIR the golden
+# oracles use
+DYNAMIC_SQL: dict[str, Callable[[str], str]] = {}
 
 
 def register(name: str, sql: str | None = None):
@@ -90,9 +95,19 @@ def quantize(col, scale: int = 4):
 
 
 def q_sql(expr: str, scale: int = 4) -> str:
-    """DuckDB twin of quantize() for oracle SQL strings."""
-    return (f"CAST(CAST(CAST(({expr}) AS DOUBLE) AS DECIMAL(38,{scale})) "
-            f"AS DOUBLE)")
+    """DuckDB twin of quantize() for oracle SQL strings.
+
+    The hop is double → VARCHAR → decimal → double, NOT double → decimal:
+    Spark's double→decimal cast rounds the value's SHORTEST DECIMAL REPR
+    HALF_UP (BigDecimal.valueOf), but DuckDB's double→decimal cast rounds the
+    BINARY value — on a repr-tie double like 2970.77545 (binary just below
+    the tie) they disagree by one ulp at the target scale (found by
+    tools/adversarial_gate.py seed 31). DuckDB's double→VARCHAR emits the
+    same shortest repr and its VARCHAR→decimal parse rounds HALF_UP, so the
+    string hop reproduces Spark bit-for-bit, including -0.0 normalization
+    and exponent-form reprs."""
+    return (f"CAST(CAST(CAST(CAST(({expr}) AS DOUBLE) AS VARCHAR) "
+            f"AS DECIMAL(38,{scale})) AS DOUBLE)")
 
 
 def _sf_of_dir(sf_dir: str) -> float:
@@ -429,6 +444,8 @@ def oracle_sql() -> dict[str, str]:
     sf_dir = os.environ.get("CHPDF_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     out.update(golden.golden_sql(_sf_of_dir(sf_dir),
                                  base="/tmp/ch_pdf_parse_fixtures"))
+    for name, fn in DYNAMIC_SQL.items():
+        out[name] = fn(sf_dir)
     return out
 
 

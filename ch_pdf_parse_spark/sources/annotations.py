@@ -88,14 +88,15 @@ def read_annotations(spark: SparkSession, path: str) -> DataFrame:
     # ZeroDivisionError/IndexError analog must degrade per-RECORD in a
     # batch engine) — the page's bboxes normalize to NULL instead and the
     # row survives for downstream filtering.
-    # (gate on exactly 2 sides: greatest() skips NULLs, so a 1-element
-    # image_size would otherwise silently normalize by the one present side)
+    # (gate on exactly 2 NON-NULL sides: greatest() skips NULLs, so both a
+    # 1-element image_size AND a partially-null one like [800, NULL] would
+    # otherwise silently normalize by the one present side — corrupt shapes
+    # must all degrade to NULL bboxes the same way)
+    side1 = F.try_element_at("image_size", F.lit(1))
+    side2 = F.try_element_at("image_size", F.lit(2))
     scale = F.when(
-        F.size("image_size") == 2,
-        F.try_divide(
-            F.lit(1024.0),
-            F.greatest(F.try_element_at("image_size", F.lit(1)),
-                       F.try_element_at("image_size", F.lit(2)))) - 0.00001)
+        (F.size("image_size") == 2) & side1.isNotNull() & side2.isNotNull(),
+        F.try_divide(F.lit(1024.0), F.greatest(side1, side2)) - 0.00001)
     norm = [F.floor(v * scale).cast("int") for v in (x1, y1, x2, y2)]
 
     # P5: bbox sanitization (inverted/degenerate boxes,

@@ -138,14 +138,20 @@ def test_hostile_pages_degrade_per_record(spark, tmp_path):
          "annotate": None},
         {"image_id": 4, "pdf": "d", "image_size": [800, 600],
          "annotate": [{"text_region": "[10,10,20,20]", "text": "good"}]},
+        {"image_id": 5, "pdf": "d", "image_size": [800, None],
+         "annotate": [{"text_region": "[10,10,20,20]", "text": "halfnull"}]},
     ]
     (tmp_path / "d.json").write_text(json.dumps(pages))
     rows = {r["page_id"]: r for r in
             read_annotations(spark, str(tmp_path)).collect()}
     # pages with a parseable annotate list each emit their segment
-    assert set(rows) == {0, 1, 2, 4}
+    assert set(rows) == {0, 1, 2, 4, 5}
     assert rows[0]["bbox"]["x1"] is None      # zero page side -> NULL bbox
     assert rows[1]["bbox"]["x1"] is None      # null image_size -> NULL bbox
     assert rows[2]["bbox"]["x1"] is None      # unparseable text_region
     assert rows[4]["bbox"]["x1"] == int(10 * (1024 / 800 - 1e-5))
     assert rows[4]["text"] == "good"
+    # [800, NULL] passes the size==2 gate but greatest() would skip the NULL
+    # and silently normalize by the one present side — must degrade like the
+    # other corrupt shapes instead
+    assert rows[5]["bbox"]["x1"] is None

@@ -194,10 +194,16 @@ def generate(seed: int, out_dir: str) -> None:
       o_orderpriority=_pick(rng, ["1-URGENT", "5-LOW", None, "", "急"], n))
     n = 6000
     w("lineitem",
-      l_orderkey=pa.array([int(v) for v in rng.integers(0, 1600, n)], pa.int64()),
+      # null JOIN/GROUP keys included (round-3 ADVICE: the m3b NULL-linenumber
+      # divergence slipped through precisely because keys were never nulled)
+      l_orderkey=pa.array([None if x < 0.03 else int(v) for v, x in
+                           zip(rng.integers(0, 1600, n), rng.random(n))],
+                          pa.int64()),
       l_partkey=pa.array([int(v) for v in rng.integers(-10, 250, n)], pa.int64()),
       l_suppkey=pa.array([int(v) for v in rng.integers(0, 12, n)], pa.int64()),
-      l_linenumber=pa.array([int(v) for v in rng.integers(-1, 8, n)], pa.int32()),
+      l_linenumber=pa.array([None if x < 0.03 else int(v) for v, x in
+                             zip(rng.integers(-1, 8, n), rng.random(n))],
+                            pa.int32()),
       l_quantity=pa.array(_doubles(rng, n, p_null=0.05), pa.float64()),
       l_extendedprice=pa.array(_doubles(rng, n, p_null=0.05), pa.float64()),
       l_discount=pa.array(_doubles(rng, n, p_null=0.05), pa.float64()),
@@ -218,14 +224,18 @@ def generate(seed: int, out_dir: str) -> None:
       props=_pick(rng, PROPS, n))
     n = 500
     texts = _pick(rng, NASTY_TEXT, n, 0.06)
-    w("documents", doc_id=pa.array(range(n), pa.int64()),
+    w("documents",
+      doc_id=pa.array([None if x < 0.03 else i for i, x in
+                       zip(range(n), rng.random(n))], pa.int64()),
       text=texts, lang=_pick(rng, LANGS, n),
       source=_pick(rng, SOURCES, n),
       n_chars=pa.array([None if t is None else len(t) for t in texts],
                        pa.int64()))
     n = 500
     emb = _margin_safe_embeddings(rng, n)
-    w("embeddings", vec_id=pa.array(range(n), pa.int64()),
+    w("embeddings",
+      vec_id=pa.array([None if x < 0.03 else i for i, x in
+                       zip(range(n), rng.random(n))], pa.int64()),
       embedding=pa.array([list(map(float, r)) for r in emb],
                          pa.list_(pa.float32())),
       label=pa.array([None if x < 0.05 else int(v) for v, x in
