@@ -457,3 +457,158 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL["sim_ann_ivf"] = _ivf_sql()
+
+
+# ---------------------------------------------------------------------------
+# IVF with a sampled k-means codebook — the honest-recall coarse quantizer
+# ---------------------------------------------------------------------------
+
+_KMEANS_ITERS = 15
+_KMEANS_SAMPLE_MOD = 3  # deterministic ~1/3 sample of the corpus
+
+
+def _kmeans_codebook(sf_dir: str) -> np.ndarray:
+    """k-means codebook trained on a deterministic sample of the corpus the
+    query runs against (vec_id % 3 == 0, sorted; init = first N_CELLS sample
+    rows; fixed Lloyd iteration count — every step is a pure function of the
+    parquet bytes, so Spark query and DuckDB oracle share identical
+    centroids). Centroid components are snapped to their shortest-repr
+    double so the SQL literals parse to the same bit patterns numpy holds.
+
+    At 10^12 rows the same recipe is: sample ~256k vectors via Spark
+    (deterministic hash predicate), collect to the driver, k-means there,
+    broadcast the codebook — quantizer training is offline either way; only
+    the literals in the plan change. Real clustered data is exactly where
+    the data-independent ±1 codebook of sim_ann_ivf loses recall (cells
+    don't follow the density), which this variant measures and fixes
+    (tools/ivf_recall.py; BENCH/BASELINE.md)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    rows = [(i, v) for i, v in zip(tbl.column("vec_id").to_pylist(),
+                                   tbl.column("embedding").to_pylist())
+            # NULL keys/vectors can't be sampled by id and carry no geometry
+            if i is not None and v is not None]
+    if not rows:
+        return _CENTROIDS_NP.copy()
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, X = ids[order], X[order]
+    S = X[ids % _KMEANS_SAMPLE_MOD == 0]
+    if len(S) < N_CELLS:  # degenerate corpora: fall back to the ±1 codebook
+        return _CENTROIDS_NP.copy()
+    C = S[:N_CELLS].copy()
+    for _ in range(_KMEANS_ITERS):
+        d = S @ C.T  # cosine-family assignment on normalized-ish data:
+        # argmax dot, ties to the lower cell (argmax is first-max)
+        assign = np.argmax(d - np.linalg.norm(C, axis=1) ** 2 / 2.0, axis=1)
+        for c in range(N_CELLS):
+            m = assign == c
+            if m.any():  # empty cluster: keep previous centroid
+                C[c] = S[m].mean(axis=0)
+    # snap through shortest repr: float(repr(x)) is identity on doubles, but
+    # emitting repr() into SQL guarantees the literal parses back to C's bits
+    return C
+
+
+_CODEBOOK_CACHE: dict[str, np.ndarray] = {}
+
+
+def _codebook(sf_dir: str) -> np.ndarray:
+    if sf_dir not in _CODEBOOK_CACHE:
+        _CODEBOOK_CACHE[sf_dir] = _kmeans_codebook(sf_dir)
+    return _CODEBOOK_CACHE[sf_dir]
+
+
+def _ivf_plan(spark: SparkSession, sf_dir: str, centroids: np.ndarray,
+              n_probe: int = N_PROBE) -> DataFrame:
+    """The IVF plan (assign → probe → cell equi-join → exact re-rank) over an
+    arbitrary codebook; sim_ann_ivf/sim_ann_ivf_kmeans differ only in the
+    literals. Assignment score is the k-means objective's dot-minus-half-norm²
+    (equivalent to nearest-centroid for unit-norm centroids)."""
+    from pyspark.sql import Window
+
+    half_norms = (np.linalg.norm(centroids, axis=1) ** 2 / 2.0)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def top_cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        A = np.stack(v.to_numpy())
+        dots = A @ centroids.T - half_norms
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_D.format(v="embedding")).alias("v"))
+    assigned = e.withColumn("cells", top_cells(F.col("v")))
+    corpus = assigned.select(
+        "vec_id", "v", F.element_at("cells", 1).alias("cell"))
+    probes = assigned.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.explode("cells").alias("cell"))
+    cand = (
+        probes.join(corpus.alias("c"),
+                    (F.col("c.cell") == probes["cell"])
+                    & (F.col("c.vec_id") != F.col("query_id")))
+        .select("query_id", F.col("c.vec_id").alias("neighbor_id"),
+                cosine(F.col("qv"), F.col("c.v")).alias("c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= IVF_TOPK)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _ivf_kmeans_sql(sf_dir: str) -> str:
+    C = _codebook(sf_dir)
+    dots = ", ".join(
+        f"({_duck_dot('v', '[' + ', '.join(repr(float(x)) for x in row) + ']::DOUBLE[]')}"
+        f" - {repr(float(np.linalg.norm(row) ** 2 / 2.0))})"
+        for row in C)
+    cells = ", ".join(str(i) for i in range(len(C)))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         dotted AS MATERIALIZED (
+           SELECT vec_id, v, unnest([{dots}]) AS d, unnest([{cells}]) AS cell
+           FROM e),
+         ranked AS (
+           SELECT vec_id, v, cell,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d DESC, cell) AS rk
+           FROM dotted),
+         corpus AS (SELECT vec_id, v, cell FROM ranked WHERE rk = 1),
+         probes AS (SELECT vec_id AS query_id, v AS qv, cell
+                    FROM ranked WHERE rk <= {N_PROBE} AND vec_id % 97 = 0),
+         cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                         {_duck_cos('p.qv', 'c.v')} AS c
+                  FROM probes p JOIN corpus c
+                    ON c.cell = p.cell AND c.vec_id <> p.query_id),
+         out AS (SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY c DESC, neighbor_id) AS rank
+                 FROM cand)
+    SELECT query_id, neighbor_id, rank FROM out WHERE rank <= {IVF_TOPK}
+    """
+
+
+@register("sim_ann_ivf_kmeans", None)
+def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ann_ivf with a sampled k-means codebook instead of the
+    data-independent ±1 quantizer (round-2 verdict item #6): cells follow the
+    corpus density, making the recall claim honest on clustered data. Same
+    plan — one scalar cell equi-join, vectors assigned map-side; the oracle
+    is regenerated per corpus with the identical centroid literals
+    (registry.DYNAMIC_SQL)."""
+    return _ivf_plan(spark, sf_dir, _codebook(sf_dir))
+
+
+from ..registry import DYNAMIC_SQL  # noqa: E402
+
+DYNAMIC_SQL["sim_ann_ivf_kmeans"] = _ivf_kmeans_sql

@@ -58,3 +58,35 @@ def test_ivf_cell_ranking_margins_dwarf_float_error(spark):
     assign_margin = float(np.min(dots[:, 0] - dots[:, 1]))
     probe_margin = float(np.min(dots[:, 1] - dots[:, 2]))
     assert min(assign_margin, probe_margin) > 1e-6, (assign_margin, probe_margin)
+
+
+def test_kmeans_codebook_deterministic_and_oracle_aligned():
+    """The sampled codebook is a pure function of the parquet bytes, and the
+    SQL literals parse back to the exact doubles the Spark UDF closes over
+    (repr round-trip) — the bit-equality the dynamic oracle rests on."""
+    import numpy as np
+
+    from ch_pdf_parse_spark.operators.similarity import (
+        N_CELLS, DIM, _CODEBOOK_CACHE, _kmeans_codebook)
+
+    sf = "/root/testdata/sf0.01"
+    a, b = _kmeans_codebook(sf), _kmeans_codebook(sf)
+    assert a.shape == (N_CELLS, DIM)
+    assert np.array_equal(a, b)
+    assert all(float(repr(float(x))) == x for x in a.ravel())
+    _CODEBOOK_CACHE.pop(sf, None)
+
+
+def test_kmeans_codebook_empty_corpus_falls_back(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ch_pdf_parse_spark.operators.similarity import (
+        _CENTROIDS_NP, _kmeans_codebook)
+
+    pq.write_table(
+        pa.table({"vec_id": pa.array([], pa.int64()),
+                  "embedding": pa.array([], pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+    assert np.array_equal(_kmeans_codebook(str(tmp_path)), _CENTROIDS_NP)
