@@ -133,20 +133,28 @@ def main() -> None:
     extras["n_docs"] = n_docs
 
     # the relational twin is for plan-visibility, not the scale path — bench a
-    # deterministic 2000-doc slice so the round stays fast
+    # deterministic 2000-doc slice so the round stays fast. Shuffle partitions
+    # sized to the slice (~30 MB): the default max(32, 4*cores)=128 left the
+    # twin's window/join stages running 128-513 near-empty tasks whose
+    # scheduling overhead dominated wall (10.4s -> 4.6s measured at 32; the
+    # same sizing rule — partitions ~ data/64MB, not a per-core constant — is
+    # what AQE's coalescing applies automatically on a real cluster's bigger
+    # inputs)
     queries["q_extract_relational_2k"] = round(
         run_extraction(CPUS, corpus_path, relational=True, runs=2,
-                       doc_limit="doc_002000"), 3)
+                       doc_limit="doc_002000", shuffle_partitions=32), 3)
 
     spark = get_spark("bench-queries", cores=CPUS, shuffle_partitions=max(32, CPUS * 4))
     try:
         from ch_pdf_parse_spark.operators.dedup import (
             dedup_minhash_lsh, pipeline_decontaminate)
         from ch_pdf_parse_spark.operators.relational_ops import agg_pricing_summary
-        from ch_pdf_parse_spark.operators.similarity import sim_topk_bruteforce
+        from ch_pdf_parse_spark.operators.similarity import (
+            sim_ann_ivf_kmeans, sim_topk_bruteforce)
 
         for name, fn in [("q_dedup_minhash", dedup_minhash_lsh),
                          ("q_sim_topk", sim_topk_bruteforce),
+                         ("q_sim_ann_ivf_kmeans", sim_ann_ivf_kmeans),
                          ("q_agg_pricing", agg_pricing_summary),
                          ("q_decontaminate", pipeline_decontaminate)]:
             queries[name] = round(

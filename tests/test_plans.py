@@ -110,3 +110,24 @@ def test_hash_split_is_map_only(spark):
 
     plan = _formatted(pipeline_hash_split(spark, "/root/testdata/sf0.001"))
     assert not re.search(r"\bExchange\b", plan), plan
+
+
+def test_main_content_is_map_only(spark):
+    """r3: text_main_content is a per-row higher-order filter — zero
+    exchanges (the earlier explode->groupBy re-nest paid a shuffle and
+    merged NULL doc_ids into one group)."""
+    from ch_pdf_parse_spark.operators.text_analysis import text_main_content
+
+    plan = _formatted(text_main_content(spark, "/root/testdata/sf0.01"))
+    assert not re.search(r"\bExchange\b", plan), plan
+
+
+def test_dedup_bucket_caps_reuse_join_exchange(spark):
+    """The hot-bucket guards (window count over the join key) must not add a
+    second hashpartitioning exchange on the key beyond the join's own."""
+    from ch_pdf_parse_spark.operators.dedup import dedup_ngram_jaccard
+
+    plan = _formatted(dedup_ngram_jaccard(spark, "/root/testdata/sf0.01"))
+    n_shingle_exchanges = len(re.findall(
+        r"Exchange hashpartitioning\(shingle", plan))
+    assert n_shingle_exchanges <= 1, plan

@@ -32,3 +32,26 @@ def test_entry_module_exposes_driver_contract():
     assert callable(entry.entry)
     assert callable(entry.queries)
     assert callable(entry.oracle_sql)
+
+
+def test_quantize_repr_tie_double_matches_oracle(spark):
+    """The adversarial-gate seed-31 class pinned as a unit test: a double
+    whose shortest repr is a tie at the quantize scale (2970.77545 -> s=4).
+    Spark's double->decimal cast rounds the repr HALF_UP; DuckDB's
+    double->decimal cast rounds the BINARY value (just below the tie), so
+    q_sql must hop through VARCHAR. Column data, not literals — Spark
+    constant-folds literals through a different path."""
+    import duckdb
+
+    from ch_pdf_parse_spark.registry import q_sql, quantize
+
+    vals = [2970.77545, 135.795, -0.0, 0.30000000000000004, 1e-7]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got_spark = sorted(
+        r["q"] for r in df.select(quantize("x", 4).alias("q")).collect())
+    got_duck = sorted(
+        r[0] for r in duckdb.connect().execute(
+            f"SELECT {q_sql('x', 4)} FROM (SELECT unnest({vals}) AS x)"
+        ).fetchall())
+    assert [repr(a) for a in got_spark] == [repr(b) for b in got_duck]
+    assert 2970.7755 in got_spark  # HALF_UP on the repr, not the binary
