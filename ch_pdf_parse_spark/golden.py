@@ -38,33 +38,33 @@ FRAME_SAMPLE = "golden_frame_sample.parquet"
 
 
 def _media_rows(doc_id: str, spans: list[tuple[str, str, str, int]]):
-    """Pure-Python twin of operators.multimodal.synthesize_media (md5-derived
-    metadata + 1 KiB fake payload) and the decode-stub feature pipeline."""
-    from .operators.multimodal import _decode_image
+    """Golden rows for the media pipeline, via the SAME shared pure-Python
+    twins the multimodal tests use (media_meta_py / _decode_image — one
+    definition next to the SQL expressions they mirror)."""
+    from .operators.multimodal import IMAGE_KINDS, _decode_image, media_meta_py
 
     for kind, _text, media_ref, _off in spans:
         if media_ref == "":
             continue
-        h = hashlib.md5(media_ref.encode()).hexdigest()
-        media_type = "image" if kind in ("figure", "table") else "video"
-        width = int(h[0:4], 16) % 1024 + 16
-        height = int(h[4:8], 16) % 1024 + 16
-        n_frames = int(h[8:10], 16) % 32 + 1
-        payload = bytes.fromhex(h) * 64  # unhex(repeat(md5, 64)) = 1024 B
+        media_type = "image" if kind in IMAGE_KINDS else "video"
+        width, height, n_frames, payload = media_meta_py(media_ref)
         img = _decode_image(payload, width, height)
         band0 = np.array_split(img, 8)[0]
         f0 = np.float32(float(np.round(band0.mean(), 3)))
         yield doc_id, media_ref, media_type, len(payload), f0, n_frames
 
 
-def write_golden(sf: float, base: str | None = None, seed: int = 42,
+def write_golden(sf: float, base: str | None = None,
                  force: bool = False) -> str:
     """Materialize all four golden tables beside the fixture corpus; returns
-    the corpus dir. Idempotent per (sf, seed, GOLDEN_VERSION)."""
+    the corpus dir. Idempotent per (sf, GOLDEN_VERSION). The corpus seed is
+    fixed at the fixture default (42): the corpus cache directory is keyed by
+    sf alone, so a seed parameter here would silently return the cached
+    other-seed corpus/golden — not offered."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out = fixtures.write_corpus(sf, base=base, seed=seed)
+    out = fixtures.write_corpus(sf, base=base)
     marker = os.path.join(out, "_GOLDEN_SUCCESS")
     if not force and os.path.exists(marker):
         with open(marker) as f:

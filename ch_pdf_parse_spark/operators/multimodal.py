@@ -43,6 +43,22 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+IMAGE_KINDS = ("figure", "table")  # every other media-bearing kind -> video
+
+
+def media_meta_py(media_ref: str) -> tuple[int, int, int, bytes]:
+    """Pure-Python twin of synthesize_media's md5-derived metadata + 1 KiB
+    payload — ONE definition for the expected-feature test oracle and the
+    golden-parquet oracle (golden.py), kept adjacent to the SQL expressions
+    below so a constant change cannot silently desync them."""
+    h = hashlib.md5(media_ref.encode()).hexdigest()
+    width = int(h[0:4], 16) % 1024 + 16
+    height = int(h[4:8], 16) % 1024 + 16
+    n_frames = int(h[8:10], 16) % 32 + 1
+    payload = bytes.fromhex(h) * 64  # unhex(repeat(md5, 64))
+    return width, height, n_frames, payload
+
+
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Deterministic fake binary corpus from the documents table's media refs
     (payload = repeated md5 bytes of the ref; metadata from the hash). Stands
@@ -151,6 +167,6 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _expected_feature(media_ref: str, width: int, height: int, dim: int = 8):
     """Test helper: oracle for the deterministic fake pipeline."""
-    payload = hashlib.md5(media_ref.encode()).digest() * 64
+    payload = media_meta_py(media_ref)[3]
     img = _decode_image(payload, width, height)
     return [float(np.round(b.mean(), 3)) for b in np.array_split(img, dim)]

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..registry import exact_sum, q_sql, quantize, register, _t
+from ..registry import exact_sum, exact_sum_sql, q_sql, quantize, register, _t
 
 
 @register(
@@ -76,7 +76,7 @@ def a_group_concat_empty_sep(spark, sf_dir):
 
 @register(
     "a_session_merge",
-    """
+    f"""
     WITH t AS (
       SELECT user_id, event_id, value, ts,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -95,7 +95,7 @@ def a_group_concat_empty_sep(spark, sf_dir):
       FROM t
     )
     SELECT user_id, session_id, count(*) AS n_events,
-           CAST(CAST(CAST(CAST((CAST(sum(value::DECIMAL(38,6)) AS DOUBLE)) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS session_value
+           {q_sql(exact_sum_sql("value"))} AS session_value
     FROM s GROUP BY user_id, session_id
     """,
 )
@@ -264,11 +264,11 @@ def s_union_all(spark, sf_dir):
 
 @register(
     "agg_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price,
-           CAST(CAST(CAST(CAST((CAST(sum(CAST(l_discount AS DECIMAL(38,2))) AS DOUBLE) / count(*)) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE)
+           {exact_sum_sql("l_quantity", 2)} AS sum_qty,
+           {exact_sum_sql("l_extendedprice", 2)} AS sum_price,
+           {q_sql(exact_sum_sql("l_discount", 2) + " / count(*)", 6)}
              AS avg_disc,
            count(*) AS n
     FROM lineitem
@@ -346,11 +346,11 @@ def m_need_info_gate(spark, sf_dir):
 
 @register(
     "a_windowed_events",
-    """
+    f"""
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n,
-           CAST(CAST(CAST(CAST((CAST(sum(value::DECIMAL(38,6)) AS DOUBLE)) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS total_value
+           {q_sql(exact_sum_sql("value"))} AS total_value
     FROM events
     WHERE ts IS NOT NULL  -- windowing is defined on event time only; Spark's
                           -- window(ts) silently drops null-ts rows

@@ -67,7 +67,8 @@ def exact_sum(col, scale: int = 6):
     order of float64 addition changes with shuffle layout, so borderline
     values flip the last rounded digit between runs and engines (the round-1
     driver flaked exactly this way on a_session_merge). DuckDB twin:
-    ``CAST(sum(<col>::DECIMAL(38,{scale})) AS DOUBLE)``.
+    ``exact_sum_sql`` — the addend cast must hop through VARCHAR, NOT
+    ``value::DECIMAL``, for the same repr-tie reason as ``q_sql``.
 
     Precision 38 (not 18) so the addend ceiling is |v| < 10^32: under ANSI
     mode (Spark 4 default) a double that exceeds the decimal's range raises
@@ -80,18 +81,30 @@ def exact_sum(col, scale: int = 6):
 
 def quantize(col, scale: int = 4):
     """Cross-engine deterministic replacement for ``round(<double>, s)``:
-    double → decimal(38,s) → double. Both engines implement the double→
-    decimal cast as HALF_UP on the value's shortest decimal representation,
-    while their round() functions diverge: Spark rounds the shortest repr
-    (BigDecimal.valueOf) but DuckDB rounds the BINARY value — 135.795 (a
-    double just below the tie) rounds to 135.8 vs 135.79 — and DuckDB's
-    round() also preserves IEEE -0.0 where Spark normalizes it. The decimal
-    hop produces identical digits on both engines and squashes zero sign.
-    DuckDB twin: ``q_sql``. Do NOT substitute a decimal→decimal rescale:
-    DuckDB truncates those instead of rounding (found by
-    tools/adversarial_gate.py)."""
+    double → decimal(38,s) → double. SPARK's double→decimal cast rounds the
+    value's shortest decimal repr HALF_UP (BigDecimal.valueOf); both engine
+    round() functions AND DuckDB's double→decimal cast instead round the
+    BINARY value — 135.795 / 2970.77545 (binary just below the tie) come out
+    one ulp lower — and DuckDB's round() also preserves IEEE -0.0 where the
+    decimal hop normalizes it. So the DuckDB twin ``q_sql`` must hop through
+    VARCHAR (its double→VARCHAR emits the same shortest repr, and its
+    VARCHAR→decimal parse rounds HALF_UP), which reproduces Spark
+    bit-for-bit. Do NOT substitute a decimal→decimal rescale either:
+    DuckDB truncates those instead of rounding (tools/adversarial_gate.py)."""
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("double").cast(f"decimal(38,{scale})").cast("double")
+
+
+def dec_sql(expr: str, scale: int = 6) -> str:
+    """DuckDB twin of Spark's ``cast(<double> as decimal(38,s))`` for oracle
+    SQL — via VARCHAR for the repr-HALF_UP tie behavior (see quantize)."""
+    return f"CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,{scale}))"
+
+
+def exact_sum_sql(expr: str, scale: int = 6) -> str:
+    """DuckDB twin of ``exact_sum``: per-addend decimal rounding (VARCHAR
+    hop), exact decimal sum, cast back to double."""
+    return f"CAST(sum({dec_sql(expr, scale)}) AS DOUBLE)"
 
 
 def q_sql(expr: str, scale: int = 4) -> str:
@@ -271,7 +284,7 @@ def p_page_bucket(spark, sf_dir):
     "a_window_cumsum",
     f"""
     SELECT event_id, user_id,
-           {q_sql('''CAST(SUM(value::DECIMAL(38,6))
+           {q_sql(f'''CAST(SUM({dec_sql("value")})
                  OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)''')}
              AS running_value
@@ -442,10 +455,25 @@ def oracle_sql() -> dict[str, str]:
     from . import golden
 
     sf_dir = os.environ.get("CHPDF_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    out.update(golden.golden_sql(_sf_of_dir(sf_dir),
-                                 base="/tmp/ch_pdf_parse_fixtures"))
+    # golden/dynamic oracles require materialization (fixture corpus, corpus
+    # tables for codebook training) — a failure there must cost only those
+    # entries (they degrade to the rows-only check), never the whole oracle
+    # surface: check_queries explicitly supports partial table dirs
+    try:
+        out.update(golden.golden_sql(_sf_of_dir(sf_dir),
+                                     base="/tmp/ch_pdf_parse_fixtures"))
+    except Exception as e:  # noqa: BLE001
+        import sys
+
+        print(f"warning: golden oracles unavailable: {e}", file=sys.stderr)
     for name, fn in DYNAMIC_SQL.items():
-        out[name] = fn(sf_dir)
+        try:
+            out[name] = fn(sf_dir)
+        except Exception as e:  # noqa: BLE001
+            import sys
+
+            print(f"warning: dynamic oracle {name} unavailable: {e}",
+                  file=sys.stderr)
     return out
 
 

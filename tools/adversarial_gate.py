@@ -96,8 +96,13 @@ def _doubles(rng, n, p_null=0.08):
     )
     noise = rng.normal(0, 1000, n) * (rng.random(n) < 0.5)
     bait = np.round(rng.integers(-10**6, 10**6, n) / 2000.0, 5)  # lots of .xxxx5
-    mix = rng.integers(0, 3, n)
-    vals = np.where(mix == 0, base, np.where(mix == 1, noise, bait))
+    # .xxxxxx5 at 7 decimals: repr-tie at the ADDEND scale (decimal(38,6)) —
+    # the class where DuckDB's direct double->decimal cast (binary rounding)
+    # diverges from Spark's repr-HALF_UP; exercises exact_sum_sql/dec_sql
+    bait6 = np.round(rng.integers(-10**8, 10**8, n) / 2_000_000.0, 7)
+    mix = rng.integers(0, 4, n)
+    vals = np.where(mix == 0, base,
+                    np.where(mix == 1, noise, np.where(mix == 2, bait, bait6)))
     out = [None if x else float(v)
            for v, x in zip(vals, rng.random(n) < p_null)]
     return out
@@ -232,14 +237,33 @@ def generate(seed: int, out_dir: str) -> None:
       n_chars=pa.array([None if t is None else len(t) for t in texts],
                        pa.int64()))
     n = 500
-    emb = _margin_safe_embeddings(rng, n)
-    w("embeddings",
-      vec_id=pa.array([None if x < 0.03 else i for i, x in
-                       zip(range(n), rng.random(n))], pa.int64()),
-      embedding=pa.array([list(map(float, r)) for r in emb],
-                         pa.list_(pa.float32())),
-      label=pa.array([None if x < 0.05 else int(v) for v, x in
-                      zip(rng.integers(0, 10, n), rng.random(n))], pa.int32()))
+    # sim_ann_ivf_kmeans trains its codebook ON this table, so the static
+    # ±1-plane margins above don't cover it: after writing, train the same
+    # codebook and verify every vector's rank-1/2 and 2/3 assignment gaps
+    # dwarf float-accumulation error; redraw the matrix (rng continues —
+    # still deterministic per seed) until clean. Without this, a hostile
+    # vector near a learned cell boundary flips cells between numpy and
+    # DuckDB dot kernels and the hash diverges by construction.
+    from ch_pdf_parse_spark.operators.similarity import _kmeans_codebook
+
+    for _ in range(6):
+        emb = _margin_safe_embeddings(rng, n)
+        w("embeddings",
+          vec_id=pa.array([None if x < 0.03 else i for i, x in
+                           zip(range(n), rng.random(n))], pa.int64()),
+          embedding=pa.array([list(map(float, r)) for r in emb],
+                             pa.list_(pa.float32())),
+          label=pa.array([None if x < 0.05 else int(v) for v, x in
+                          zip(rng.integers(0, 10, n), rng.random(n))],
+                         pa.int32()))
+        C = _kmeans_codebook(out_dir)
+        scores = emb.astype(np.float64) @ C.T - (C * C).sum(axis=1) / 2.0
+        s = np.sort(scores, axis=1)[:, ::-1]
+        gap = min((s[:, 0] - s[:, 1]).min(), (s[:, 1] - s[:, 2]).min())
+        if gap > 1e-6:
+            break
+    else:
+        print(f"warning: kmeans assignment margin only {gap:g} after redraws")
 
 
 def main() -> int:
