@@ -134,8 +134,17 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Band signatures → bucket self-join → candidate pairs (doc_a < doc_b)."""
+def lsh_candidate_pairs(sig: DataFrame,
+                        bucket_cap: int = SIMHASH_BUCKET_CAP) -> DataFrame:
+    """Band signatures → bucket self-join → candidate pairs (doc_a < doc_b).
+
+    Hot-bucket guard (same shape as simhash_pairs): a band bucket only gets
+    wide when many documents share a full 4-minhash band — at 10^12 docs
+    that's mass-duplicated boilerplate, which exact dedup upstream should
+    have removed, and which would otherwise make this bucket's self-join
+    quadratic. Buckets wider than the cap are dropped before the join; the
+    window count partitions by the join key so the guard reuses the join's
+    exchange. Mirrored verbatim in the oracle via QUALIFY."""
     rows = N_MINHASH // N_BANDS
     bands = sig.select(
         "doc_id",
@@ -147,6 +156,9 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
             ])
         ).alias("band", "sig"),
     )
+    wb = Window.partitionBy("band", "sig")
+    bands = (bands.withColumn("bw", F.count("*").over(wb))
+             .where(F.col("bw") <= bucket_cap).drop("bw"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -158,7 +170,7 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(bucket_cap: int = SIMHASH_BUCKET_CAP) -> str:
     mins = ", ".join(
         f"min({_sql_hash('shingle', str(i))}) AS m{i}" for i in range(N_MINHASH)
     )
@@ -172,8 +184,11 @@ def _minhash_sql() -> str:
     return f"""
     WITH sh AS ({sh}),
          mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-         bands AS (SELECT doc_id, unnest([{sigs}]) AS sig,
-                          unnest([{bandidx}]) AS band FROM mh)
+         bands0 AS (SELECT doc_id, unnest([{sigs}]) AS sig,
+                           unnest([{bandidx}]) AS band FROM mh),
+         bands AS (SELECT doc_id, sig, band FROM bands0
+                   QUALIFY count(*) OVER (PARTITION BY band, sig)
+                           <= {bucket_cap})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id

@@ -99,3 +99,17 @@ def test_simhash_bucket_cap_drops_hot_bucket(spark, tmp_path):
     wide = dedup.simhash_pairs(sim, max_hamming=10, bucket_cap=n_docs * 4)
     deflt = dedup.simhash_pairs(sim, max_hamming=10)
     assert set(map(tuple, wide.collect())) == set(map(tuple, deflt.collect()))
+
+
+def test_minhash_bucket_cap(spark, tmp_path):
+    """Identical docs share every band signature; with bucket_cap=1 no pair
+    can form, and the default cap changes nothing at fixture scale."""
+    sf_dir = _write_docs(tmp_path, TEXTS)
+    corpus = dedup.with_dup_corpus(
+        spark.read.parquet(str(tmp_path / "documents.parquet")))
+    sig = dedup.minhash_signatures(dedup.shingles(corpus))
+    assert dedup.lsh_candidate_pairs(sig, bucket_cap=1).count() == 0
+    deflt = set(map(tuple, dedup.lsh_candidate_pairs(sig).collect()))
+    wide = set(map(tuple, dedup.lsh_candidate_pairs(
+        sig, bucket_cap=1 << 30).collect()))
+    assert deflt == wide and deflt
