@@ -148,17 +148,18 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
         "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p)
     add("dedup_minhash_lsh", "bounded exchanges", n_ex <= 8, f"{n_ex} exchanges")
 
-    # --- boilerplate strip: classify before the (only) shuffle ------------
+    # --- boilerplate strip: per-row higher-order filter (r3 rewrite) ------
     p = formatted_plan(q["text_main_content"](spark, sf_dir))
     plans["text_main_content"] = p
     n_ex = len(re.findall(r"\(\d+\) Exchange", p))
-    add("text_main_content", "single shuffle (the per-doc re-nest)",
-        n_ex == 1, f"{n_ex} exchanges")
-    # boilerplate must be dropped map-side: the pre-shuffle aggregate is a
-    # partial collect_list over the classified lines, so dropped lines never
-    # shuffle
-    add("text_main_content", "partial (map-side) collect before the exchange",
-        "partial_collect_list" in p)
+    add("text_main_content", "zero Exchange (per-row line filter, r3)",
+        n_ex == 0, f"{n_ex} exchanges")
+    # (the higher-order filter itself evaluates outside whole-stage codegen —
+    # Spark never codegens lambda functions — but the plan stays map-only
+    # with codegen through the scan+split; the property worth pinning is
+    # "no shuffle", asserted above, plus codegen presence up to the HOF)
+    add("text_main_content", "codegen spans the scan/split stage",
+        "codegen id" in p)
 
     # --- similarity: broadcast direction + bucketed candidates (round 2) --
     p = formatted_plan(q["sim_topk_bruteforce"](spark, sf_dir))
@@ -179,6 +180,20 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
     add("sim_ann_ivf", "cell equi-join, assignment map-side (no NLJ)",
         "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
         and bool(re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p)))
+
+    p = formatted_plan(q["sim_ann_ivf_kmeans"](spark, sf_dir))
+    plans["sim_ann_ivf_kmeans"] = p
+    add("sim_ann_ivf_kmeans", "same cell equi-join plan as the ±1 codebook",
+        "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+        and bool(re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p)))
+
+    # --- hot-bucket caps reuse the join exchange (r3) ---------------------
+    p = formatted_plan(q["dedup_ngram_jaccard"](spark, sf_dir))
+    plans["dedup_ngram_jaccard"] = p
+    n_shingle_ex = len(re.findall(r"Exchange hashpartitioning\(shingle", p))
+    add("dedup_ngram_jaccard", "df-cap window reuses the join's shingle "
+        "exchange (no extra shuffle on the key)", n_shingle_ex <= 1,
+        f"{n_shingle_ex} shingle exchanges")
 
     # --- decontamination: eval shingles broadcast, corpus streamed --------
     p = formatted_plan(q["pipeline_decontaminate"](spark, sf_dir))
