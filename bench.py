@@ -95,7 +95,8 @@ def _best_stable(run_once, runs_min: int = 2, runs_max: int = 5,
 
 def run_extraction(cores: int, corpus_path: str, relational: bool = False,
                    shuffle_partitions: int | None = None, runs: int = 2,
-                   doc_limit: str | None = None) -> float:
+                   doc_limit: str | None = None,
+                   columns: tuple[str, ...] | None = None) -> float:
     from ch_pdf_parse_spark.pipeline import extract_documents
     from ch_pdf_parse_spark.relational import extract_documents_relational
 
@@ -110,7 +111,12 @@ def run_extraction(cores: int, corpus_path: str, relational: bool = False,
         # build, so task count is sized to amortize it while keeping waves
         # balanced (coalesce = no shuffle)
         docs = docs.coalesce(cores * 3)
-        fn = extract_documents_relational if relational else extract_documents
+        if relational:
+            fn = extract_documents_relational
+        elif columns is not None:
+            fn = lambda d: extract_documents(d, columns=columns)  # noqa: E731
+        else:
+            fn = extract_documents
         # warmup (JIT, Arrow python-worker spin-up, page cache), then best-of-N;
         # 2k docs so whole-stage codegen + arrow paths are actually hot
         _run(fn(docs.limit(64 if relational else 2048)))
@@ -131,6 +137,11 @@ def main() -> None:
     queries["q_extract"] = round(t_extract, 3)
     extras["docs_per_sec"] = round(n_docs / t_extract, 1)
     extras["n_docs"] = n_docs
+
+    # the driver's extract_spans consumer: spans-only projection pushed
+    # through the UDF barrier (markdown never built or Arrow-shipped)
+    queries["q_extract_spans_only"] = round(
+        run_extraction(CPUS, corpus_path, columns=("spans",)), 3)
 
     # the relational twin is for plan-visibility, not the scale path — bench a
     # deterministic 2000-doc slice so the round stays fast. Shuffle partitions

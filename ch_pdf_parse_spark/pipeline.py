@@ -78,13 +78,20 @@ def _spans_to_tuples(spans) -> list[tuple[str, str, str, int]]:
     return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
 
 
-def _extract_arrow(it):
+def _extract_arrow(it, columns: tuple[str, ...] = ("spans", "markdown")):
     """mapInArrow kernel: operate on the columnar batch directly — the nested
     spans array is consumed as flat child arrays (no per-span dict or object
     materialization, which costs more than the extraction itself). The
     per-document semantics live in ``kernel.extract_document`` (optimized
     twin of the golden oracle ``core.extract_document`` — differentially
-    tested in tests/test_kernel.py)."""
+    tested in tests/test_kernel.py).
+
+    ``columns`` is manual projection pushdown through the UDF barrier:
+    Catalyst prunes columns up to the scan, but nothing inside a
+    mapInArrow can be pruned for it — a consumer that selects only
+    ``spans`` would still pay Arrow serialization for every markdown
+    string (≈ the document's full text again) unless the kernel skips
+    building the column entirely."""
     import numpy as np
     import pyarrow as pa
 
@@ -120,6 +127,8 @@ def _extract_arrow(it):
         pages, y1s, x1s = kernel.decode_offsets(
             vals.field("offset").fill_null(0)  # null geometry ≡ origin
             .to_numpy(zero_copy_only=False))
+        want_spans = "spans" in columns
+        want_md = "markdown" in columns
         # flat output columns + list offsets (built directly; no per-span dicts)
         ok, ot, om = [], [], []
         loffs = [0]
@@ -128,26 +137,33 @@ def _extract_arrow(it):
             lo, hi = offs[i], offs[i + 1]  # absolute into the child arrays
             recs, md = kernel.extract_document(
                 kinds, texts, refs, pages, y1s, x1s, lo, hi)
-            for k, t, m in recs:
-                ok.append(k)
-                ot.append(t)
-                om.append(m)
-            loffs.append(len(ok))
-            out_md.append(md)
-        # output span order == position within the doc's records list
-        orders = [o for i in range(len(batch))
-                  for o in range(loffs[i + 1] - loffs[i])]
-        struct = pa.StructArray.from_arrays(
-            [pa.array(ok, pa.string()), pa.array(ot, pa.string()),
-             pa.array(om, pa.string()), pa.array(orders, pa.int32())],
-            names=["kind", "text", "media_ref", "offset"],
-        )
-        yield pa.RecordBatch.from_arrays(
-            [doc_ids.combine_chunks() if isinstance(doc_ids, pa.ChunkedArray) else doc_ids,
-             pa.ListArray.from_arrays(pa.array(loffs, pa.int32()), struct),
-             pa.array(out_md, pa.string())],
-            names=["doc_id", "spans", "markdown"],
-        )
+            if want_spans:
+                for k, t, m in recs:
+                    ok.append(k)
+                    ot.append(t)
+                    om.append(m)
+                loffs.append(len(ok))
+            if want_md:
+                out_md.append(md)
+        out_cols = [doc_ids.combine_chunks()
+                    if isinstance(doc_ids, pa.ChunkedArray) else doc_ids]
+        out_names = ["doc_id"]
+        if want_spans:
+            # output span order == position within the doc's records list
+            orders = [o for i in range(len(batch))
+                      for o in range(loffs[i + 1] - loffs[i])]
+            struct = pa.StructArray.from_arrays(
+                [pa.array(ok, pa.string()), pa.array(ot, pa.string()),
+                 pa.array(om, pa.string()), pa.array(orders, pa.int32())],
+                names=["kind", "text", "media_ref", "offset"],
+            )
+            out_cols.append(
+                pa.ListArray.from_arrays(pa.array(loffs, pa.int32()), struct))
+            out_names.append("spans")
+        if want_md:
+            out_cols.append(pa.array(out_md, pa.string()))
+            out_names.append("markdown")
+        yield pa.RecordBatch.from_arrays(out_cols, names=out_names)
 
 
 # ---------------------------------------------------------------------------
@@ -208,10 +224,28 @@ def _stitch_doc(pdf: pd.DataFrame) -> pd.DataFrame:
 def extract_documents(
     docs: DataFrame,
     salt_threshold: int = C.SALT_SPAN_THRESHOLD,
+    columns: tuple[str, ...] = ("spans", "markdown"),
 ) -> DataFrame:
     """End-to-end extraction. Zero-shuffle ``mapInPandas`` for regular docs;
-    page-salted two-stage aggregation for the oversized long tail."""
+    page-salted two-stage aggregation for the oversized long tail.
+
+    ``columns`` selects which output columns the kernel builds AND ships
+    (subset of {"spans", "markdown"}): projection pushdown through the UDF
+    barrier — a spans-only consumer (the driver's ``extract_spans``) skips
+    Arrow-serializing every markdown string, a markdown-only consumer
+    (``extract_markdown``) skips the span arrays. Catalyst cannot do this
+    pruning for a black-box mapInArrow."""
+    from functools import partial
+
     from .packaging import ensure_on_executors
+
+    cols = tuple(columns)
+    if not cols or not set(cols) <= {"spans", "markdown"}:
+        raise ValueError(f"columns must be a non-empty subset of "
+                         f"('spans', 'markdown'); got {columns!r}")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.StringType())]
+        + [f for f in OUTPUT_SCHEMA.fields if f.name in cols])
 
     ensure_on_executors(docs.sparkSession)
     # Route on a stored stats column when available: `n_spans` is written at
@@ -226,7 +260,7 @@ def extract_documents(
     small = docs.where((n <= salt_threshold) | n.isNull())
     big = docs.where(n > salt_threshold)
 
-    small_out = small.mapInArrow(_extract_arrow, OUTPUT_SCHEMA)
+    small_out = small.mapInArrow(partial(_extract_arrow, columns=cols), schema)
 
     off = F.coalesce(F.col("s.offset"), F.lit(0))  # null geometry ≡ origin
     exploded = (
@@ -243,7 +277,11 @@ def extract_documents(
     partials = exploded.groupBy("doc_id", "page").applyInPandas(
         _extract_page_partial, _PARTIAL_SCHEMA
     )
-    big_out = partials.groupBy("doc_id").applyInPandas(_stitch_doc, OUTPUT_SCHEMA)
+    # the salted long tail is <0.1% of docs — it always computes both columns
+    # (the stitch is the cheap half) and projects down to match
+    big_out = (partials.groupBy("doc_id")
+               .applyInPandas(_stitch_doc, OUTPUT_SCHEMA)
+               .select("doc_id", *cols))
     return small_out.unionByName(big_out)
 
 

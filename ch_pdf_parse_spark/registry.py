@@ -160,10 +160,13 @@ def extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full per-document extraction (SURVEY.md §3.1 lifecycle).
 
     Output spans reproduce core.extract_document (span-sequence equality
-    (kind, text, media_ref, order) — BASELINE.json invariant)."""
+    (kind, text, media_ref, order) — BASELINE.json invariant). Spans-only
+    projection pushed through the UDF barrier: markdown strings are never
+    built or Arrow-shipped for this consumer (pipeline.extract_documents
+    ``columns``)."""
     from .pipeline import extract_documents
 
-    out = extract_documents(fixture_docs(spark, sf_dir))
+    out = extract_documents(fixture_docs(spark, sf_dir), columns=("spans",))
     return out.select(
         "doc_id",
         F.posexplode("spans").alias("pos", "s"),
@@ -194,10 +197,13 @@ def extract_spans_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("extract_markdown")
 def extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: per-document markdown fold (A3/A4, predict/pdf2markdown.py:549-683)."""
+    """Flagship: per-document markdown fold (A3/A4, predict/pdf2markdown.py:549-683).
+    Markdown-only projection through the UDF barrier — span arrays are never
+    built or shipped for this consumer."""
     from .pipeline import extract_documents
 
-    return extract_documents(fixture_docs(spark, sf_dir)).select(
+    return extract_documents(fixture_docs(spark, sf_dir),
+                             columns=("markdown",)).select(
         "doc_id", F.md5("markdown").alias("md_hash"), F.length("markdown").alias("md_len")
     )
 

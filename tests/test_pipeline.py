@@ -80,3 +80,33 @@ def test_salted_path_cross_page_caption_boundary(spark):
     want = {d: (list(core.extract_document(s)[0]),
                 core.extract_document(s)[1]) for d, s in rows}
     assert got == want
+
+
+def test_column_projection_matches_full_output(spark, docs_df):
+    """columns= pushdown must be a pure projection: spans-only and
+    markdown-only outputs equal the full run's corresponding columns, on
+    both the zero-shuffle branch and the salted path."""
+    from ch_pdf_parse_spark.pipeline import extract_documents
+
+    for thr in (None, 1):  # default routing and forced-salted
+        kw = {} if thr is None else {"salt_threshold": thr}
+        full = {r["doc_id"]: ([tuple(s) for s in r["spans"]], r["markdown"])
+                for r in extract_documents(docs_df, **kw).collect()}
+        sp = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+              for r in extract_documents(docs_df, columns=("spans",),
+                                         **kw).collect()}
+        md = {r["doc_id"]: r["markdown"]
+              for r in extract_documents(docs_df, columns=("markdown",),
+                                         **kw).collect()}
+        assert sp == {d: s for d, (s, _) in full.items()}
+        assert md == {d: m for d, (_, m) in full.items()}
+
+
+def test_column_projection_rejects_bad_columns(docs_df):
+    import pytest as _pytest
+
+    from ch_pdf_parse_spark.pipeline import extract_documents
+
+    for bad in ((), ("spans", "nope"), ("doc_id",)):
+        with _pytest.raises(ValueError):
+            extract_documents(docs_df, columns=bad)
