@@ -199,9 +199,17 @@ def _minhash_sql(bucket_cap: int = SIMHASH_BUCKET_CAP) -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates via MinHash(16) + LSH(4 bands × 4 rows) over word
     3-gram shingles. Candidates only — the LSH contract; verified below by the
-    exact-Jaccard oracle twin."""
+    exact-Jaccard oracle twin.
+
+    dedupe=False: min() over a shingle multiset equals min() over its set,
+    so the per-doc distinct buys nothing here. (Catalyst already folds the
+    distinct's exchange into the signature agg's doc_id exchange — verified
+    by key inspection — so what this skips is the distinct's per-partition
+    hash-aggregate pass over every (doc_id, shingle), not a shuffle. The
+    oracle keeps DISTINCT; the minima are identical by construction.)"""
     corpus = with_dup_corpus(_t(spark, sf_dir, "documents"))
-    return lsh_candidate_pairs(minhash_signatures(shingles(corpus)))
+    return lsh_candidate_pairs(
+        minhash_signatures(shingles(corpus, dedupe=False)))
 
 
 # ---------------------------------------------------------------------------
