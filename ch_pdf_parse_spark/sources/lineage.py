@@ -61,6 +61,7 @@ def run_with_lineage(
     fail_after: int | None = None,
     stage_input: bool = True,
     parallelism: int = 1,
+    columns: tuple[str, ...] = ("spans", "markdown"),
 ) -> list[int]:
     """Extract ``docs`` bucket-by-bucket with lineage; returns the list of
     buckets computed in THIS invocation (completed ones are skipped via
@@ -160,11 +161,13 @@ def run_with_lineage(
     def do_bucket(b: int) -> int:
         t0 = time.time()
         part = bucketed.where(F.col("bucket") == b).drop("bucket")
-        out = extract_documents(part)
+        out = extract_documents(part, columns=columns)
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"bucket={b}"))
+        span_stat = (F.sum(F.size("spans")) if "spans" in columns
+                     else F.lit(0))  # markdown-only runs carry no span count
         stats = (
             spark.read.parquet(os.path.join(out_dir, f"bucket={b}"))
-            .agg(F.count("*").alias("d"), F.sum(F.size("spans")).alias("s"))
+            .agg(F.count("*").alias("d"), span_stat.alias("s"))
             .collect()[0]
         )
         rec = [(b, stats["d"], stats["s"] or 0,

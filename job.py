@@ -37,6 +37,11 @@ def main() -> None:
                     help="buckets submitted concurrently (Spark scheduler "
                          "interleaves the jobs; use when one bucket's tasks "
                          "don't fill the cluster)")
+    ap.add_argument("--columns", default="spans,markdown",
+                    help="output columns to build and ship (comma-separated "
+                         "subset of spans,markdown): projection pushdown "
+                         "through the extraction UDF — a spans-only job "
+                         "skips Arrow-shipping every markdown string")
     ap.add_argument("--no-stage-input", action="store_true",
                     help="skip the bucket-partitioned staging copy (use when "
                          "the input is already bucketed, e.g. an Iceberg "
@@ -68,8 +73,9 @@ def main() -> None:
                  f"{docs.schema.simpleString()} — expected the interleaved "
                  f"corpus (doc_id, spans array<struct<kind,text,media_ref,"
                  f"offset>>)")
+    cols = tuple(c.strip() for c in args.columns.split(",") if c.strip())
     if args.no_lineage:
-        write_table(extract_documents(docs), args.output)
+        write_table(extract_documents(docs, columns=cols), args.output)
         computed = ["all"]
         # parquet count() is footer-metadata only — no second data pass
         n_docs = read_table(spark, args.output).count()
@@ -77,7 +83,8 @@ def main() -> None:
         computed = run_with_lineage(spark, docs, args.output,
                                     n_buckets=args.buckets,
                                     stage_input=not args.no_stage_input,
-                                    parallelism=args.parallelism)
+                                    parallelism=args.parallelism,
+                                    columns=cols)
         # doc totals come from the lineage table (collected per bucket while
         # extracting) — docs.count() here would be a full second input scan,
         # i.e. another 10^12-row pass purely for a metrics line
