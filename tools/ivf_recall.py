@@ -51,11 +51,42 @@ def recall(got_rows, want: dict[int, set[int]]) -> float:
     return round(sum(fracs) / len(fracs), 4) if fracs else float("nan")
 
 
+def clustered_corpus(n: int = 1200, n_clusters: int = 16, dim: int = 64,
+                     spread: float = 0.25) -> str:
+    """Deterministic CLUSTERED embeddings table — the regime production
+    embeddings live in and the ±1 codebook can't exploit: k-means cells then
+    follow the density and most true neighbors share the query's top cell."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = "/tmp/ch_pdf_parse_clustered"
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 1, (n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = np.empty((n, dim))
+    for i in range(n):
+        c = centers[i % n_clusters]
+        v = c + rng.normal(0, spread / np.sqrt(dim), dim)
+        X[i] = v / np.linalg.norm(v)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in
+                                         X.astype(np.float32)],
+                                        pa.list_(pa.float32()))}),
+        os.path.join(out, "embeddings.parquet"))
+    return out
+
+
 def main() -> int:
     from ch_pdf_parse_spark.operators.similarity import (
         IVF_TOPK, sim_ann_ivf, sim_ann_ivf_kmeans, sim_ann_lsh)
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    if len(sys.argv) > 1 and sys.argv[1] == "--clustered":
+        sf_dir = clustered_corpus()
+    else:
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     want = exact_topk(sf_dir, IVF_TOPK)
     spark = get_spark("ivf-recall", shuffle_partitions=16)
     out = {"sf_dir": sf_dir, "k": IVF_TOPK, "n_queries": len(want)}
