@@ -111,10 +111,12 @@ def run_extraction(cores: int, corpus_path: str, relational: bool = False,
         # build, so task count is sized to amortize it while keeping waves
         # balanced (coalesce = no shuffle)
         docs = docs.coalesce(cores * 3)
+        from functools import partial
+
         if relational:
             fn = extract_documents_relational
         elif columns is not None:
-            fn = lambda d: extract_documents(d, columns=columns)  # noqa: E731
+            fn = partial(extract_documents, columns=columns)
         else:
             fn = extract_documents
         # warmup (JIT, Arrow python-worker spin-up, page cache), then best-of-N;

@@ -194,12 +194,20 @@ def _xy_cut(x1s: list, y1s: list, x2s: list, y2s: list) -> list:
 
 
 def extract_document(
-    kinds: list, texts: list, refs: list, pages, y1s, x1s, lo: int, hi: int
+    kinds: list, texts: list, refs: list, pages, y1s, x1s, lo: int, hi: int,
+    want_records: bool = True, want_markdown: bool = True,
 ):
     """One document over flat batch arrays [lo, hi); mirrors
     core.extract_document + extract_page + finish_document exactly.
 
     Returns (records [(kind, text, media_ref)], markdown string).
+
+    ``want_records`` / ``want_markdown`` skip CONSTRUCTION of the unneeded
+    output (the projection pushdown's kernel half — the classification /
+    XY-cut / caption state always runs, but a spans-only consumer skips all
+    markdown string formatting and joining, a markdown-only consumer skips
+    record-list building). The skipped output returns empty; flagged runs
+    are pinned equal to the full run's kept half in tests/test_kernel.py.
     """
     # group span indices by page, input order preserved (dict is insertion-
     # ordered; pages iterate ascending)
@@ -284,7 +292,8 @@ def extract_document(
 
             text = t_text[k]
             if kind == "equation":
-                md_append(f"![]({text}){_SEP_MEDIA}")
+                if want_markdown:
+                    md_append(f"![]({text}){_SEP_MEDIA}")
                 continue
             if kind == "table_caption":
                 if new_line or not tab_groups:
@@ -299,20 +308,25 @@ def extract_document(
                     fig_groups[-1].append(text)
                 continue
             if new_line:
-                records.append((kind, text, ""))
-                md_append((_SEP_TITLE if kind == "title" else _SEP_PARA) + text)
-            else:
-                md_append(text)
-                if records:
-                    k0, t0, m0 = records[-1]
-                    records[-1] = (k0, t0 + text, m0)
-                else:
+                if want_records:
                     records.append((kind, text, ""))
+                if want_markdown:
+                    md_append((_SEP_TITLE if kind == "title" else _SEP_PARA) + text)
+            else:
+                if want_markdown:
+                    md_append(text)
+                if want_records:
+                    if records:
+                        k0, t0, m0 = records[-1]
+                        records[-1] = (k0, t0 + text, m0)
+                    else:
+                        records.append((kind, text, ""))
 
         # caption <-> media positional match (greedy by caption index);
         # page markdown emits all tables (caption-first) then all figures
         # (image-first), each in input order — core.extract_page:362-369
-        md_append(_PAGE_SEP)
+        if want_markdown:
+            md_append(_PAGE_SEP)
         ti = fi = 0
         for i in media_idx:
             if kinds[i] == "table":
@@ -320,20 +334,23 @@ def extract_document(
                 cap = "".join(tab_groups[ti]) if ti < len(tab_groups) else _UNMATCHED
                 ti += 1
                 table_caps.append((cap, ref))
-                md_append(f"{cap}{_SEP_MEDIA}![]({ref}){_SEP_MEDIA}")
+                if want_markdown:
+                    md_append(f"{cap}{_SEP_MEDIA}![]({ref}){_SEP_MEDIA}")
         for i in media_idx:
             if kinds[i] != "table":
                 ref = refs[i] or ""
                 cap = "".join(fig_groups[fi]) if fi < len(fig_groups) else _UNMATCHED
                 fi += 1
                 figure_caps.append((cap, ref))
-                md_append(f"![]({ref}){_SEP_MEDIA}{cap}{_SEP_MEDIA}")
+                if want_markdown:
+                    md_append(f"![]({ref}){_SEP_MEDIA}{cap}{_SEP_MEDIA}")
 
-    for cap, ref in table_caps:
-        records.append(("table_caption", cap, ref))
-    for cap, ref in figure_caps:
-        records.append(("figure_caption", cap, ref))
-    return records, "".join(markdown)
+    if want_records:
+        for cap, ref in table_caps:
+            records.append(("table_caption", cap, ref))
+        for cap, ref in figure_caps:
+            records.append(("figure_caption", cap, ref))
+    return records, "".join(markdown) if want_markdown else ""
 
 
 def decode_offsets(offsets) -> tuple:

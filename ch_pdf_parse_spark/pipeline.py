@@ -78,6 +78,22 @@ def _spans_to_tuples(spans) -> list[tuple[str, str, str, int]]:
     return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
 
 
+def normalize_columns(columns) -> tuple[str, ...]:
+    """Validate + canonicalize an output-column projection. One definition so
+    job.py / run_with_lineage can fail fast BEFORE the staging copy (a typo'd
+    --columns must not cost a full input pass) and duplicates can't reach the
+    salted branch's select (where they'd surface as a confusing unionByName
+    AnalysisException). Canonical order = OUTPUT_SCHEMA order, matching the
+    kernel's emit order regardless of how the caller ordered the names."""
+    cols = tuple(columns)
+    bad = set(cols) - {"spans", "markdown"}
+    if not cols or bad or len(set(cols)) != len(cols):
+        raise ValueError(
+            f"columns must be non-empty, duplicate-free, and a subset of "
+            f"('spans', 'markdown'); got {columns!r}")
+    return tuple(c for c in ("spans", "markdown") if c in cols)
+
+
 def _extract_arrow(it, columns: tuple[str, ...] = ("spans", "markdown")):
     """mapInArrow kernel: operate on the columnar batch directly — the nested
     spans array is consumed as flat child arrays (no per-span dict or object
@@ -136,7 +152,8 @@ def _extract_arrow(it, columns: tuple[str, ...] = ("spans", "markdown")):
         for i in range(len(batch)):
             lo, hi = offs[i], offs[i + 1]  # absolute into the child arrays
             recs, md = kernel.extract_document(
-                kinds, texts, refs, pages, y1s, x1s, lo, hi)
+                kinds, texts, refs, pages, y1s, x1s, lo, hi,
+                want_records=want_spans, want_markdown=want_md)
             if want_spans:
                 for k, t, m in recs:
                     ok.append(k)
@@ -239,10 +256,7 @@ def extract_documents(
 
     from .packaging import ensure_on_executors
 
-    cols = tuple(columns)
-    if not cols or not set(cols) <= {"spans", "markdown"}:
-        raise ValueError(f"columns must be a non-empty subset of "
-                         f"('spans', 'markdown'); got {columns!r}")
+    cols = normalize_columns(columns)
     schema = T.StructType(
         [T.StructField("doc_id", T.StringType())]
         + [f for f in OUTPUT_SCHEMA.fields if f.name in cols])

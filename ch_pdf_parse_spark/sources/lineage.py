@@ -75,14 +75,19 @@ def run_with_lineage(
     ``bucket(doc_id, N)`` spec); every per-bucket read is then
     directory-pruned. On an actually-bucketed Iceberg table pass False.
 
-    Resume assumes the SAME input and bucketing: a manifest (n_buckets +
-    input file list) is recorded at staging time; a later call into the same
-    ``out_dir`` with a different input or n_buckets raises instead of
-    silently extracting against the stale snapshot (or stale lineage)."""
+    Resume assumes the SAME input, bucketing AND output projection: a
+    manifest (n_buckets + input file list + columns) is recorded at staging
+    time; a later call into the same ``out_dir`` with a different input,
+    n_buckets or ``columns`` raises instead of silently extracting against
+    the stale snapshot (or writing mixed-schema buckets)."""
     import hashlib
     import json
 
-    from ..pipeline import extract_documents
+    from ..pipeline import extract_documents, normalize_columns
+
+    # fail fast (and canonicalize for the manifest signature) before any
+    # staging work — see pipeline.normalize_columns
+    columns = normalize_columns(columns)
 
     os.makedirs(out_dir, exist_ok=True)
     # input identity from file-level metadata only (no data scan): catches
@@ -113,9 +118,14 @@ def run_with_lineage(
             file_meta.append([f, st.st_size, st.st_mtime_ns])
         else:  # remote (hdfs/s3/...) — name-only identity
             file_meta.append([f])
-    SIG_VERSION = 2  # v1 hashed bare names; v2 adds [size, mtime_ns]
+    # v1 hashed bare names; v2 adds [size, mtime_ns]; v3 adds the output
+    # column projection — resuming with a different --columns would silently
+    # mix schemas across buckets (half with markdown, half without), which
+    # Spark's footer sampling then papers over as nulls
+    SIG_VERSION = 3
     sig = hashlib.sha256(json.dumps(
-        {"n_buckets": n_buckets, "files": file_meta}
+        {"n_buckets": n_buckets, "files": file_meta,
+         "columns": sorted(columns)}
     ).encode()).hexdigest()[:16]
     manifest = os.path.join(out_dir, "_manifest.json")
     if os.path.exists(manifest):

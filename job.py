@@ -73,7 +73,15 @@ def main() -> None:
                  f"{docs.schema.simpleString()} — expected the interleaved "
                  f"corpus (doc_id, spans array<struct<kind,text,media_ref,"
                  f"offset>>)")
-    cols = tuple(c.strip() for c in args.columns.split(",") if c.strip())
+    from ch_pdf_parse_spark.pipeline import normalize_columns
+
+    try:
+        # validate BEFORE the lineage manifest and the full staging copy —
+        # a typo'd --columns must fail here, not one input pass later
+        cols = normalize_columns(
+            tuple(c.strip() for c in args.columns.split(",") if c.strip()))
+    except ValueError as e:
+        sys.exit(f"job.py: {e}")
     if args.no_lineage:
         write_table(extract_documents(docs, columns=cols), args.output)
         computed = ["all"]

@@ -99,3 +99,24 @@ def test_xy_cut_randomized_geometry_stress():
         k = kernel._xy_cut([b[0] for b in boxes], [b[1] for b in boxes],
                            [b[2] for b in boxes], [b[3] for b in boxes])
         assert k == core.xy_cut(boxes)
+
+
+def test_projection_flags_match_full_run():
+    """want_records/want_markdown runs must equal the full run's kept half —
+    the kernel side of the columns= projection pushdown."""
+    docs = [fixtures.generate_document(i) for i in range(120)]
+    docs += [fixtures.generate_document(i, oversized=True) for i in range(3)]
+    for d in docs:
+        spans = list(d.spans)
+        kinds = [s[0] for s in spans]
+        texts = [s[1] for s in spans]
+        refs = [s[2] for s in spans]
+        pages, y1s, x1s = kernel.decode_offsets([s[3] for s in spans])
+        args = (kinds, texts, refs, pages, y1s, x1s, 0, len(spans))
+        recs, md = kernel.extract_document(*args)
+        recs_only, md_empty = kernel.extract_document(*args,
+                                                      want_markdown=False)
+        recs_empty, md_only = kernel.extract_document(*args,
+                                                      want_records=False)
+        assert recs_only == recs and md_empty == ""
+        assert md_only == md and recs_empty == []

@@ -263,7 +263,11 @@ def generate(seed: int, out_dir: str) -> None:
         if gap > 1e-6:
             break
     else:
-        print(f"warning: kmeans assignment margin only {gap:g} after redraws")
+        # proceeding would make a pure float-boundary flip look like an
+        # engine divergence in the gate report — fail attributably instead
+        raise RuntimeError(
+            f"seed {seed}: kmeans assignment margin only {gap:g} after 6 "
+            "redraws; pick another seed (margin-unverifiable corpus)")
 
 
 def main() -> int:
