@@ -176,6 +176,28 @@ def main() -> None:
     finally:
         spark.stop()
 
+    # ANN quality next to ANN speed: recall@3 vs exact brute-force top-3
+    # (DuckDB oracle kernel) for the two production ANN paths — a
+    # correct-but-low-recall index would otherwise look "fast" here
+    try:
+        from tools.ivf_recall import exact_topk, recall
+
+        want = exact_topk(SF_DIR, 3)
+        spark = get_spark("bench-recall", cores=CPUS, shuffle_partitions=32)
+        try:
+            from ch_pdf_parse_spark.operators.similarity import (
+                sim_ann_ivf_kmeans, sim_ann_lsh)
+
+            extras["recall_at_3"] = {
+                "ivf_kmeans": recall(sim_ann_ivf_kmeans(spark, SF_DIR).collect(),
+                                     want),
+                "lsh": recall(sim_ann_lsh(spark, SF_DIR).collect(), want),
+            }
+        finally:
+            spark.stop()
+    except OSError:
+        pass  # no embeddings table at this SF_DIR
+
     # N→4N scaling evidence: same job, same input, two parallelism levels
     # (no real cluster in-sandbox; BASELINE.json criterion ≥0.8).
     # Default run measures the 2→8-core pair on a small corpus — the
