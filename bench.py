@@ -195,8 +195,11 @@ def main() -> None:
             }
         finally:
             spark.stop()
-    except OSError:
-        pass  # no embeddings table at this SF_DIR
+    except Exception:  # noqa: BLE001 — optional telemetry: a missing/
+        # unreadable embeddings table raises duckdb.IOException (NOT OSError;
+        # verified MRO: IOException->...->Exception), and nothing in this
+        # block may cost the run its one-JSON-line stdout contract
+        pass
 
     # N→4N scaling evidence: same job, same input, two parallelism levels
     # (no real cluster in-sandbox; BASELINE.json criterion ≥0.8).

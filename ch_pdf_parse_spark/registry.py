@@ -465,22 +465,26 @@ def oracle_sql() -> dict[str, str]:
     # tables for codebook training) — a failure there must cost only those
     # entries (they degrade to the rows-only check), never the whole oracle
     # surface: check_queries explicitly supports partial table dirs
-    # OSError only (missing/unreadable table files = legitimately partial
-    # dirs): a LOGIC regression in golden materialization or codebook
-    # training must still propagate loudly — silently downgrading those
-    # queries to rows-only would let a real cross-engine divergence ship
-    # unverified (round-3 code review)
+    # Missing/unreadable table FILES (OSError for absent paths, pyarrow
+    # ArrowInvalid for truncated/corrupt parquet) = legitimately partial
+    # dirs: degrade those entries to rows-only. A LOGIC regression in golden
+    # materialization or codebook training must still propagate loudly —
+    # silently downgrading would let a real cross-engine divergence ship
+    # unverified (round-3 code review, twice).
+    import pyarrow as pa
+
+    unavailable = (OSError, pa.lib.ArrowInvalid)
     try:
         out.update(golden.golden_sql(_sf_of_dir(sf_dir),
                                      base="/tmp/ch_pdf_parse_fixtures"))
-    except OSError as e:
+    except unavailable as e:
         import sys
 
         print(f"warning: golden oracles unavailable: {e}", file=sys.stderr)
     for name, fn in DYNAMIC_SQL.items():
         try:
             out[name] = fn(sf_dir)
-        except OSError as e:
+        except unavailable as e:
             import sys
 
             print(f"warning: dynamic oracle {name} unavailable: {e}",

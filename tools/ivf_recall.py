@@ -48,7 +48,9 @@ def recall(got_rows, want: dict[int, set[int]]) -> float:
     for r in got_rows:
         got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     fracs = [len(got.get(q, set()) & w) / len(w) for q, w in want.items() if w]
-    return round(sum(fracs) / len(fracs), 4) if fracs else float("nan")
+    # None, not NaN: this feeds json.dumps on the bench stdout contract and
+    # bare NaN is invalid JSON (RFC 8259)
+    return round(sum(fracs) / len(fracs), 4) if fracs else None
 
 
 def clustered_corpus(n: int = 1200, n_clusters: int = 16, dim: int = 64,
