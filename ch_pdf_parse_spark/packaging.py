@@ -46,12 +46,22 @@ def build_zip(dest: str | None = None) -> str:
 
 def ensure_on_executors(spark: SparkSession) -> None:
     """Idempotently ship the package to Python workers of this session
-    (thread-safe: concurrent first calls collapse to one addPyFile)."""
+    (thread-safe: concurrent first calls collapse to one addPyFile).
+
+    Under ``spark-submit --py-files`` the package is ALREADY shipped — and
+    that copy is authoritative: rebuilding the zip here would publish fresh
+    bytes to the same /tmp path, and any executor that then fetches it for
+    addPyFile fails with "exists and does not match contents" whenever the
+    working tree changed after the submit zip was built (found by a
+    kill/resume probe: the resume run crashed on the stale staged zip). So
+    if spark.submit.pyFiles names this package, skip addPyFile entirely."""
     key = spark.sparkContext.applicationId
     if key in _ENSURED:
         return
     with _LOCK:
         if key in _ENSURED:
             return
-        spark.sparkContext.addPyFile(build_zip())
+        submitted = spark.conf.get("spark.submit.pyFiles", "") or ""
+        if "ch_pdf_parse_spark" not in submitted:
+            spark.sparkContext.addPyFile(build_zip())
         _ENSURED.add(key)
