@@ -180,6 +180,8 @@ def main() -> None:
     # (DuckDB oracle kernel) for the two production ANN paths — a
     # correct-but-low-recall index would otherwise look "fast" here
     try:
+        import duckdb
+
         from tools.ivf_recall import exact_topk, recall
 
         want = exact_topk(SF_DIR, 3)
@@ -195,11 +197,13 @@ def main() -> None:
             }
         finally:
             spark.stop()
-    except Exception:  # noqa: BLE001 — optional telemetry: a missing/
-        # unreadable embeddings table raises duckdb.IOException (NOT OSError;
-        # verified MRO: IOException->...->Exception), and nothing in this
-        # block may cost the run its one-JSON-line stdout contract
-        pass
+    except (duckdb.Error, OSError) as e:
+        # optional telemetry: a missing/unreadable embeddings table raises
+        # duckdb.IOException (a duckdb.Error, NOT OSError — verified MRO).
+        # Catch ONLY the table-unavailable shapes so a logic regression in
+        # exact_topk/recall or a Spark failure surfaces loudly instead of
+        # silently dropping recall_at_3 from the JSON (round-3 advice).
+        print(f"warning: recall telemetry unavailable: {e!r}", file=sys.stderr)
 
     # N→4N scaling evidence: same job, same input, two parallelism levels
     # (no real cluster in-sandbox; BASELINE.json criterion ≥0.8).

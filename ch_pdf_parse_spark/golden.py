@@ -91,8 +91,15 @@ def write_golden(sf: float, base: str | None = None,
                 frame_rows.extend(
                     (d, ref, i) for i in range(0, n_frames, 4))
 
+    # Atomic publish: write each table (and the marker) to a tmp path and
+    # os.replace into place, so a concurrent oracle_sql() either sees the
+    # complete previous file or the complete new one — never a half-written
+    # parquet that would ArrowInvalid-degrade its query to rows-only
+    # (round-3 advice). os.replace is atomic within one filesystem.
     def _write(name: str, cols: dict) -> None:
-        pq.write_table(pa.table(cols), os.path.join(out, name))
+        tmp = os.path.join(out, f".{name}.tmp.{os.getpid()}")
+        pq.write_table(pa.table(cols), tmp)
+        os.replace(tmp, os.path.join(out, name))
 
     _write(SPANS, {
         "doc_id": pa.array([r[0] for r in span_rows], pa.string()),
@@ -118,8 +125,10 @@ def write_golden(sf: float, base: str | None = None,
         "media_ref": pa.array([r[1] for r in frame_rows], pa.string()),
         "frame_idx": pa.array([r[2] for r in frame_rows], pa.int32()),
     })
-    with open(marker, "w") as f:
+    tmp_marker = f"{marker}.tmp.{os.getpid()}"
+    with open(tmp_marker, "w") as f:
         f.write(GOLDEN_VERSION)
+    os.replace(tmp_marker, marker)
     return out
 
 

@@ -325,7 +325,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
     DF² join bucket. The window count partitions by the join key, so Catalyst
     reuses one exchange for guard + join."""
     corpus = with_dup_corpus(_t(spark, sf_dir, "documents"))
-    sh = shingles(corpus)
+    return ngram_jaccard_pairs(shingles(corpus), threshold, df_cap)
+
+
+def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
+                        df_cap: int = NGRAM_DF_CAP) -> DataFrame:
+    """Exact-Jaccard pair scoring over a per-doc-distinct (doc_id, shingle)
+    table — the body of dedup_ngram_jaccard, shared with the cluster-
+    resolution composition (operators/cluster.py)."""
     wdf = Window.partitionBy("shingle")
     sh = (sh.withColumn("df", F.count("*").over(wdf))
           .where(F.col("df") <= df_cap).drop("df"))

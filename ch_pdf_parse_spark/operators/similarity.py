@@ -472,8 +472,10 @@ def _kmeans_codebook(sf_dir: str) -> np.ndarray:
     query runs against (vec_id % 3 == 0, sorted; init = first N_CELLS sample
     rows; fixed Lloyd iteration count — every step is a pure function of the
     parquet bytes, so Spark query and DuckDB oracle share identical
-    centroids). Centroid components are snapped to their shortest-repr
-    double so the SQL literals parse to the same bit patterns numpy holds.
+    centroids). Centroid components are emitted into the oracle SQL via
+    ``repr()``, which round-trips doubles exactly — the literals parse back
+    to the same bit patterns numpy holds (no in-array snapping happens or
+    is needed).
 
     At 10^12 rows the same recipe is: sample ~256k vectors via Spark
     (deterministic hash predicate), collect to the driver, k-means there,
@@ -515,13 +517,24 @@ def _kmeans_codebook(sf_dir: str) -> np.ndarray:
     return C
 
 
-_CODEBOOK_CACHE: dict[str, np.ndarray] = {}
+_CODEBOOK_CACHE: dict[tuple, np.ndarray] = {}
 
 
 def _codebook(sf_dir: str) -> np.ndarray:
-    if sf_dir not in _CODEBOOK_CACHE:
-        _CODEBOOK_CACHE[sf_dir] = _kmeans_codebook(sf_dir)
-    return _CODEBOOK_CACHE[sf_dir]
+    """Cache keyed by (path, size, mtime_ns) of the embeddings file, so a
+    regenerated corpus at the same path never reuses a stale codebook
+    (round-3 advice: the adversarial gate regenerates corpora in-process)."""
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(p)
+        key = (p, st.st_size, st.st_mtime_ns)
+    except OSError:
+        key = (p, -1, -1)
+    if key not in _CODEBOOK_CACHE:
+        _CODEBOOK_CACHE[key] = _kmeans_codebook(sf_dir)
+    return _CODEBOOK_CACHE[key]
 
 
 def _ivf_plan(spark: SparkSession, sf_dir: str, centroids: np.ndarray,

@@ -496,6 +496,7 @@ def _load_operator_modules() -> None:
     """Import operator modules for their @register side effects (deferred to
     avoid import cycles)."""
     from .operators import (  # noqa: F401
+        cluster,
         dedup,
         multimodal,
         order_metrics,
