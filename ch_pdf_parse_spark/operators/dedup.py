@@ -160,7 +160,15 @@ def lsh_candidate_pairs(sig: DataFrame,
     bands = (bands.withColumn("bw", F.count("*").over(wb))
              .where(F.col("bw") <= bucket_cap).drop("bw"))
     a = bands.alias("a")
-    b = bands.alias("b")
+    # "merge" hint (round-3 driver regression, r2→r3 +28% wall): without it
+    # the optimizer may flip this self-join to BroadcastHashJoin, which
+    # DESTROYS exchange reuse — a broadcast build can't reuse the other
+    # side's shuffle, so the whole shingle→minhash→window pipeline runs
+    # TWICE (observed: 5 exchanges vs 3). With sort-merge, the window's
+    # (band, sig) exchange already satisfies the join distribution on both
+    # sides, the b side collapses to a ReusedExchange, and the signature
+    # pipeline is computed exactly once (pinned in tests/test_plans.py).
+    b = bands.hint("merge").alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.sig") == F.col("b.sig"))
@@ -255,7 +263,9 @@ def simhash_pairs(simdf: DataFrame, max_hamming: int = 10,
     wb = Window.partitionBy("chunk", "ckey")
     chunks = (chunks.withColumn("bw", F.count("*").over(wb))
               .where(F.col("bw") <= bucket_cap).drop("bw"))
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # merge hint: same exchange-reuse argument as lsh_candidate_pairs — a
+    # broadcast flip would recompute the whole simhash aggregation twice
+    a, b = chunks.alias("a"), chunks.hint("merge").alias("b")
     return (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                & (F.col("a.ckey") == F.col("b.ckey"))

@@ -137,9 +137,19 @@ def a_session_merge(spark, sf_dir):
 )
 def j_interval_overlap(spark, sf_dir):
     """J3: interval/theta join (citation char-range overlap,
-    train/preprocess.py:170-177) — equi key + range predicates."""
+    train/preprocess.py:170-177) — equi key + range predicates.
+
+    The equi key (event_type) has a handful of distinct values, so hash-
+    partitioning both sides on it would put each key's entire population in
+    ONE partition pair — a skew wall at 100× scale. The `% 53` side is small
+    by construction, so it is broadcast: the big side streams map-side and
+    the range predicates apply per-row (round-3 verdict nit #2; the pinned
+    plan property asserts the BroadcastHashJoin + no exchange on the big
+    side). When NEITHER side is small, the scale-safe shape is value-banded
+    bucketing: join on (event_type, floor(value/5)) ± neighbor bucket, which
+    restores key cardinality ∝ value range."""
     e = _t(spark, sf_dir, "events")
-    a = e.where(F.col("event_id") % 53 == 0).alias("a")
+    a = F.broadcast(e.where(F.col("event_id") % 53 == 0)).alias("a")
     b = e.alias("b")
     return (
         a.join(b, (F.col("a.event_type") == F.col("b.event_type"))

@@ -579,7 +579,7 @@ def _ivf_plan(spark: SparkSession, sf_dir: str, centroids: np.ndarray,
     )
 
 
-def _ivf_kmeans_sql(sf_dir: str) -> str:
+def _ivf_kmeans_sql(sf_dir: str, n_probe: int = N_PROBE) -> str:
     C = _codebook(sf_dir)
     dots = ", ".join(
         f"({_duck_dot('v', '[' + ', '.join(repr(float(x)) for x in row) + ']::DOUBLE[]')}"
@@ -598,7 +598,7 @@ def _ivf_kmeans_sql(sf_dir: str) -> str:
            FROM dotted),
          corpus AS (SELECT vec_id, v, cell FROM ranked WHERE rk = 1),
          probes AS (SELECT vec_id AS query_id, v AS qv, cell
-                    FROM ranked WHERE rk <= {N_PROBE} AND vec_id % 97 = 0),
+                    FROM ranked WHERE rk <= {n_probe} AND vec_id % 97 = 0),
          cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
                          {_duck_cos('p.qv', 'c.v')} AS c
                   FROM probes p JOIN corpus c
@@ -612,16 +612,35 @@ def _ivf_kmeans_sql(sf_dir: str) -> str:
 
 
 @register("sim_ann_ivf_kmeans", None)
-def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str,
+                       n_probe: int = N_PROBE) -> DataFrame:
     """sim_ann_ivf with a sampled k-means codebook instead of the
     data-independent ±1 quantizer (round-2 verdict item #6): cells follow the
     corpus density, making the recall claim honest on clustered data. Same
     plan — one scalar cell equi-join, vectors assigned map-side; the oracle
     is regenerated per corpus with the identical centroid literals
-    (registry.DYNAMIC_SQL)."""
-    return _ivf_plan(spark, sf_dir, _codebook(sf_dir))
+    (registry.DYNAMIC_SQL).
+
+    ``n_probe`` is the recall/cost knob (round-3 verdict item #3): candidate
+    count ∝ n_probe/N_CELLS of the corpus, recall rises with it (measured
+    curves in BENCH/BASELINE.md). Driver-verified at two operating points —
+    this entry (nprobe=2) and ``sim_ann_ivf_kmeans_np4``."""
+    return _ivf_plan(spark, sf_dir, _codebook(sf_dir), n_probe=n_probe)
+
+
+@register("sim_ann_ivf_kmeans_np4", None)
+def sim_ann_ivf_kmeans_np4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe=4 operating point of sim_ann_ivf_kmeans: 2× the probed
+    cells → ~2× candidates per query, higher recall, same plan shape. Both
+    points are hash-verified against the dynamic oracle so the recall/cost
+    trade is driver-checked, not just benched. Cross-engine safety at this
+    width is pinned by the rank-4/5 cell-margin test (min gap 4.4e-6 across
+    testdata scales vs ~1e-13 float error)."""
+    return _ivf_plan(spark, sf_dir, _codebook(sf_dir), n_probe=4)
 
 
 from ..registry import DYNAMIC_SQL  # noqa: E402
 
 DYNAMIC_SQL["sim_ann_ivf_kmeans"] = _ivf_kmeans_sql
+DYNAMIC_SQL["sim_ann_ivf_kmeans_np4"] = (
+    lambda sf_dir: _ivf_kmeans_sql(sf_dir, n_probe=4))

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import constants as C
-from ..registry import quantize, register, _t
+from ..registry import q_sql, quantize, register, _t
 from .dedup import portable_hash
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -286,23 +286,165 @@ def text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- Gopher-style repetition metrics (round-3 verdict item #7) ------------
+#
+# Pure higher-order column expressions on the Spark side (zero shuffles, one
+# pass inside whole-stage codegen); the DuckDB twins compute the same VALUES
+# with the simplest obviously-correct list expressions (the oracle does not
+# need the scale path). The corpus has no newlines, so "lines"/"paragraphs"
+# are deterministic fixed-width token chunks (8 / 32 tokens) — on real HTML
+# text you would split on '\n'/'\n\n' instead; every downstream expression is
+# chunk-source-agnostic.
+
+_REP_LINE_W = 8
+_REP_PARA_W = 32
+
+
+def _chunks_spark(lcol: str, w: int) -> str:
+    # ceil(size/w) chunks, floor-of-1 so even an empty token list yields one
+    # '' chunk (slice past the end is empty, concat_ws of empty is '')
+    return (f"transform(sequence(1, greatest(cast(ceil(size({lcol}) / {w}.0) "
+            f"as int), 1)), i -> concat_ws(' ', slice({lcol}, (i - 1) * {w} + 1, {w})))")
+
+
+def _chunks_duck(lcol: str, w: int) -> str:
+    # coalesce: DuckDB array_to_string over an empty slice is NULL, Spark's
+    # concat_ws is '' (the empty-merge contract, tools/adversarial_gate.py)
+    return (f"[coalesce(array_to_string({lcol}[((i - 1) * {w} + 1):(i * {w})], ' '), '') "
+            f"for i in range(1, greatest(cast(ceil(len({lcol}) / {w}.0) as int), 1) + 1)]")
+
+
+def _dup_frac_spark(ccol: str) -> str:
+    """Fraction of chunks that are duplicates of an earlier chunk (Gopher
+    duplicate-line / duplicate-paragraph fraction). size >= 1 always."""
+    return f"(size({ccol}) - size(array_distinct({ccol}))) / size({ccol})"
+
+
+def _dup_frac_duck(ccol: str) -> str:
+    # list_distinct also drops NULLs — safe because the chunk builders above
+    # can never emit a NULL element
+    return f"(len({ccol}) - len(list_distinct({ccol}))) * 1.0 / len({ccol})"
+
+
+def _bigrams_spark(lcol: str) -> str:
+    return (f"if(size({lcol}) >= 2, transform(sequence(1, size({lcol}) - 1), "
+            f"i -> concat_ws(' ', element_at({lcol}, i), element_at({lcol}, i + 1))), "
+            "array())")
+
+
+def _bigrams_duck(lcol: str) -> str:
+    return f"[{lcol}[i] || ' ' || {lcol}[i+1] for i in range(1, greatest(len({lcol}), 1))]"
+
+
+def _top_bigram_count_spark(bcol: str) -> str:
+    """Max bigram multiplicity in one sorted pass: fold a run-length counter
+    over array_sort — O(n log n) per row, no shuffle, no per-row quadratic
+    blowup on long documents (the production shape for Gopher's top-2-gram
+    share at 100 TB, where a doc can be 100k tokens)."""
+    return (f"aggregate(array_sort({bcol}), "
+            "named_struct('prev', cast(null as string), 'run', 0, 'best', 0), "
+            "(acc, x) -> named_struct("
+            "  'prev', x, "
+            "  'run', if(acc.prev <=> x, acc.run + 1, 1), "
+            "  'best', greatest(acc.best, if(acc.prev <=> x, acc.run + 1, 1))), "
+            "acc -> acc.best)")
+
+
+def _top_bigram_count_duck(bcol: str) -> str:
+    # oracle-side: quadratic distinct×filter count — simple and obviously
+    # equal to "max multiplicity"; empty list → list_max([]) NULL → 0,
+    # matching the Spark fold's 0 init
+    return (f"coalesce(list_max(list_transform(list_distinct({bcol}), "
+            f"x -> len(list_filter({bcol}, y -> y = x)))), 0)")
+
+
+# deterministic repetition injection (same pattern as m4_citations' citation
+# markers): the synthetic corpus is random-word text with near-zero organic
+# repetition, so without injection every metric would be ~0 and the oracle
+# would verify nothing. 24 spams ≥ 7 (worst alignment) + 2 full 8-chunks;
+# 96 paras ≥ 31 + 2 full 32-chunks — so the dup fractions are provably > 0
+# for the injected rows at ANY chunk alignment.
+_REP_BODY_SPARK = (
+    "concat(coalesce(text, ''), "
+    "if(doc_id % 6 = 0, repeat(' spam', 24), ''), "
+    "if(doc_id % 9 = 0, repeat(' para', 96), ''))")
+_REP_BODY_DUCK = (
+    "coalesce(text, '') || "
+    "(CASE WHEN doc_id % 6 = 0 THEN repeat(' spam', 24) ELSE '' END) || "
+    "(CASE WHEN doc_id % 9 = 0 THEN repeat(' para', 96) ELSE '' END)")
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH body AS (SELECT doc_id, {_REP_BODY_DUCK} AS t FROM documents),
+         t AS (SELECT doc_id, string_split(t, ' ') AS l FROM body),
+         c AS (SELECT doc_id,
+                      {_chunks_duck('l', _REP_LINE_W)} AS c8,
+                      {_chunks_duck('l', _REP_PARA_W)} AS c32,
+                      {_bigrams_duck('l')} AS bg
+               FROM t)
+    SELECT doc_id,
+           {q_sql(_dup_frac_duck('c8'))} AS dup_line_frac,
+           {q_sql(_dup_frac_duck('c32'))} AS dup_para_frac,
+           {q_sql(_top_bigram_count_duck('bg') + ' * 1.0 / greatest(len(bg), 1)')}
+             AS top_bigram_share
+    FROM c
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-line
+    fraction, duplicate-paragraph fraction, top-2-gram share (Rae et al.
+    2021 §A1.1 repetition filters). All three are per-row higher-order
+    expressions — zero exchanges at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id",
+                 F.split(F.expr(_REP_BODY_SPARK), " ").alias("l"))
+    c = t.select(
+        "doc_id",
+        F.expr(_chunks_spark("l", _REP_LINE_W)).alias("c8"),
+        F.expr(_chunks_spark("l", _REP_PARA_W)).alias("c32"),
+        F.expr(_bigrams_spark("l")).alias("bg"),
+    )
+    return c.select(
+        "doc_id",
+        quantize(F.expr(_dup_frac_spark("c8")), 4).alias("dup_line_frac"),
+        quantize(F.expr(_dup_frac_spark("c32")), 4).alias("dup_para_frac"),
+        quantize(F.expr(_top_bigram_count_spark("bg"))
+                 / F.greatest(F.expr("size(bg)"), F.lit(1)), 4)
+        .alias("top_bigram_share"),
+    )
+
+
 @register(
     "pipeline_training_corpus",
     f"""
-    WITH corpus AS (
+    WITH corpus0 AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 500000 AS doc_id, text FROM documents
       WHERE doc_id % 13 = 0),
+    corpus AS (
+      -- '||' (propagates NULL like Spark concat), never concat()
+      SELECT doc_id,
+             text || (CASE WHEN doc_id % 21 = 0
+                           THEN repeat(' spam', 40) ELSE '' END) AS text
+      FROM corpus0),
     scored AS (
       SELECT doc_id, text,
              len(string_split(text, ' ')) AS n_tokens,
              {_stop_ratio_sql("string_split(text, ' ')")} AS stop_ratio,
-             {_lang_sql("text")} AS lang
+             {_lang_sql("text")} AS lang,
+             {_dup_frac_duck(_chunks_duck("string_split(text, ' ')", _REP_LINE_W))}
+               AS dup_line_frac,
+             {_top_bigram_count_duck(_bigrams_duck("string_split(text, ' ')"))}
+               * 1.0 / greatest(len({_bigrams_duck("string_split(text, ' ')")}), 1)
+               AS top_bigram_share
       FROM corpus),
     filtered AS (
       SELECT * FROM scored
-      WHERE lang <> 'und' AND n_tokens >= 5 AND stop_ratio >= 0.05),
+      WHERE lang <> 'und' AND n_tokens >= 5 AND stop_ratio >= 0.05
+        AND dup_line_frac < 0.3 AND top_bigram_share < 0.2),
     deduped AS (
       SELECT md5(text) AS h, min(doc_id) AS keep_id,
              count(*) AS n_copies,
@@ -326,20 +468,40 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst plan: every step is a pure column expression, the only
     shuffles are the dedup groupBy(md5) and the final stats agg, and both
     aggregate map-side first (partial agg). At 100 TB the dedup groupBy
-    shuffles only (hash, doc_id, n_tokens, lang) — never the text."""
+    shuffles only (hash, doc_id, n_tokens, lang) — never the text.
+
+    Round 4 adds the Gopher repetition stage to the filter (duplicate-line
+    fraction < 0.3, top-2-gram share < 0.2 — Rae et al. 2021 §A1.1), with a
+    deterministic spam injection (doc_id % 21) so the filter demonstrably
+    removes documents on the synthetic corpus. The thresholds compare RAW
+    int-ratio doubles — exact on both engines, no quantize hop needed."""
     base = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = base.unionByName(
+    corpus0 = base.unionByName(
         base.where(F.col("doc_id") % 13 == 0)
         .select((F.col("doc_id") + 500000).alias("doc_id"), "text"))
+    corpus = corpus0.select(
+        "doc_id",
+        F.concat("text",
+                 F.when(F.col("doc_id") % 21 == 0,
+                        F.expr("repeat(' spam', 40)")).otherwise("")
+                 ).alias("text"))
+    _l = "split(text, ' ')"
     scored = corpus.select(
         "doc_id", "text",
         F.size(F.split("text", " ")).alias("n_tokens"),
-        _stop_ratio_expr("split(text, ' ')").alias("stop_ratio"),
+        _stop_ratio_expr(_l).alias("stop_ratio"),
         _lang_expr("text").alias("lang"),
+        F.expr(_dup_frac_spark(_chunks_spark(_l, _REP_LINE_W)))
+        .alias("dup_line_frac"),
+        (F.expr(_top_bigram_count_spark(_bigrams_spark(_l)))
+         / F.greatest(F.expr(f"size({_bigrams_spark(_l)})"), F.lit(1)))
+        .alias("top_bigram_share"),
     )
     filtered = scored.where(
         (F.col("lang") != "und") & (F.col("n_tokens") >= 5)
-        & (F.col("stop_ratio") >= 0.05))
+        & (F.col("stop_ratio") >= 0.05)
+        & (F.col("dup_line_frac") < 0.3)
+        & (F.col("top_bigram_share") < 0.2))
     deduped = (
         filtered.groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("keep_id"),

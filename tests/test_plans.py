@@ -131,3 +131,52 @@ def test_dedup_bucket_caps_reuse_join_exchange(spark):
     n_shingle_exchanges = len(re.findall(
         r"Exchange hashpartitioning\(shingle", plan))
     assert n_shingle_exchanges <= 1, plan
+
+
+def test_interval_join_broadcasts_filtered_side(spark):
+    """j_interval_overlap equi-keys on event_type (few distinct values):
+    hash-partitioning on it would be a skew wall at scale, so the small
+    filtered side must broadcast and the big side must not shuffle."""
+    from ch_pdf_parse_spark.operators.relational_ops import j_interval_overlap
+
+    plan = _formatted(j_interval_overlap(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert not re.search(r"Exchange hashpartitioning\(event_type", plan), plan
+
+
+def test_text_repetition_is_map_only(spark):
+    """The Gopher repetition metrics are per-row higher-order expressions —
+    zero exchanges at any corpus size."""
+    from ch_pdf_parse_spark.operators.text_analysis import text_repetition
+
+    plan = _formatted(text_repetition(spark, "/root/testdata/sf0.01"))
+    assert not re.search(r"\bExchange\b", plan), plan
+
+
+def _final_plan(df):
+    """Execute and render the AQE FINAL plan — exchange reuse is a runtime
+    (stage-level) decision under AQE, invisible in the static plan."""
+    df.collect()
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+
+
+def test_minhash_self_join_reuses_signature_pipeline(spark):
+    """r3 driver regression root cause: a broadcast flip on the band-bucket
+    self-join destroyed exchange reuse and ran the shingle→minhash→window
+    pipeline twice. The merge hint restores SMJ; at runtime the b side must
+    collapse to a ReusedExchange of the (band, sig) shuffle."""
+    from ch_pdf_parse_spark.operators.dedup import dedup_minhash_lsh
+
+    plan = _final_plan(dedup_minhash_lsh(spark, "/root/testdata/sf0.001"))
+    assert "isFinalPlan=true" in plan, plan
+    assert "ReusedExchange" in plan, plan
+
+
+def test_simhash_self_join_reuses_signature_pipeline(spark):
+    from ch_pdf_parse_spark.operators.dedup import dedup_simhash
+
+    plan = _final_plan(dedup_simhash(spark, "/root/testdata/sf0.001"))
+    assert "isFinalPlan=true" in plan, plan
+    assert "ReusedExchange" in plan, plan
