@@ -5,6 +5,11 @@ interleaved documents, bucket-partitioned by doc_id so the extraction job's
 groupings are co-located. The sandbox has no Iceberg runtime jar, so when the
 ``iceberg`` format is unavailable (or a plain path is given) we fall back to
 parquet with the same layout. All call sites go through this module.
+
+Scope of verification: the Iceberg arms are designed-for but cannot execute
+in-sandbox (no jar); their routing and exact call chains — including the
+bucketed-write fallback contract — are pinned with stubs in
+tests/test_catalog.py, and real-catalog execution remains untested here.
 """
 
 from __future__ import annotations
