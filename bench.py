@@ -159,6 +159,7 @@ def main() -> None:
 
     spark = get_spark("bench-queries", cores=CPUS, shuffle_partitions=max(32, CPUS * 4))
     try:
+        from ch_pdf_parse_spark.operators.cluster import dedup_clusters
         from ch_pdf_parse_spark.operators.dedup import (
             dedup_minhash_lsh, pipeline_decontaminate)
         from ch_pdf_parse_spark.operators.relational_ops import agg_pricing_summary
@@ -166,16 +167,26 @@ def main() -> None:
             sim_ann_ivf_kmeans, sim_topk_bruteforce)
 
         for name, fn in [("q_dedup_minhash", dedup_minhash_lsh),
+                         ("q_dedup_clusters", dedup_clusters),
                          ("q_sim_topk", sim_topk_bruteforce),
                          ("q_sim_ann_ivf_kmeans", sim_ann_ivf_kmeans),
                          ("q_agg_pricing", agg_pricing_summary),
                          ("q_decontaminate", pipeline_decontaminate)]:
             # runs_min=2 (round-3 verdict nit #3): a single quiet sample must
             # not set the recorded number on a box with 5x steal variance —
-            # two fastest must agree within tolerance before we record
+            # two fastest must agree within tolerance before we record.
+            # The sample times fn() + the action, not just the action:
+            # dedup_clusters runs its connected-components fixpoint loop
+            # (jobs!) inside fn(), which a build-then-time split would skip;
+            # for the lazy queries the difference is plan-construction
+            # milliseconds.
+            def _sample(fn=fn):
+                t0 = time.time()
+                _run(fn(spark, SF_DIR))
+                return time.time() - t0
+
             queries[name] = round(
-                _best_stable(lambda: _run(fn(spark, SF_DIR)), runs_min=2,
-                             runs_max=4), 3)
+                _best_stable(_sample, runs_min=2, runs_max=4), 3)
     finally:
         spark.stop()
 

@@ -60,12 +60,16 @@ from .dedup import (
 MAX_CC_ITERS = 48
 
 
-def candidate_pairs_union(corpus: DataFrame) -> DataFrame:
+def candidate_pairs_union(corpus: DataFrame,
+                          sh: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b) — union of the three text detectors' candidate pairs
     over one shared shingle table (persisted once: Catalyst will not reuse a
     subtree across branches that aggregate it differently, so without the
-    persist the scan+explode+distinct would run three times)."""
-    sh = shingles(corpus).persist()
+    persist the scan+explode+distinct would run three times). Pass ``sh`` to
+    own the persist/unpersist lifecycle (the registered queries do, so
+    repeated bench invocations don't accumulate cached copies)."""
+    if sh is None:
+        sh = shingles(corpus).persist()
     p_min = lsh_candidate_pairs(minhash_signatures(sh))
     p_sim = simhash_pairs(simhash(sh)).select("doc_a", "doc_b")
     p_jac = ngram_jaccard_pairs(sh).select("doc_a", "doc_b")
@@ -178,7 +182,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_keeper), keeper = min doc_id per connected component."""
     corpus = with_dup_corpus(_t(spark, sf_dir, "documents"))
     nodes = corpus.select("doc_id").distinct()
-    return resolve_clusters(nodes, candidate_pairs_union(corpus))
+    sh = shingles(corpus).persist()
+    out = resolve_clusters(nodes, candidate_pairs_union(corpus, sh=sh))
+    # safe: resolve_clusters returns localCheckpoint-backed labels, which no
+    # longer reference the shingle subtree
+    sh.unpersist()
+    return out
 
 
 SQL["dedup_clusters"] = _clusters_sql()
@@ -193,7 +202,9 @@ def pipeline_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     component loop or any exchange wider than (id, count)."""
     corpus = with_dup_corpus(_t(spark, sf_dir, "documents"))
     nodes = corpus.select("doc_id").distinct()
-    clusters = resolve_clusters(nodes, candidate_pairs_union(corpus))
+    sh = shingles(corpus).persist()
+    clusters = resolve_clusters(nodes, candidate_pairs_union(corpus, sh=sh))
+    sh.unpersist()
     tokens = corpus.select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
     per_cluster = clusters.groupBy("cluster_id").agg(

@@ -85,12 +85,18 @@ def test_keeper_semantics_on_dup_corpus(spark):
     resolved transitively, exactly one keeper per cluster."""
     from ch_pdf_parse_spark.operators.cluster import (
         candidate_pairs_union, with_dup_corpus)
+    from ch_pdf_parse_spark.operators.dedup import shingles
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     corpus = with_dup_corpus(docs)
+    # own the shingle persist lifecycle: a leaked cache entry substitutes
+    # into OTHER tests' plans (cache substitution defeated the simhash
+    # exchange-reuse pin in test_plans when this test ran first)
+    sh = shingles(corpus).persist()
     clusters = resolve_clusters(
         corpus.select("doc_id").distinct(),
-        candidate_pairs_union(corpus)).collect()
+        candidate_pairs_union(corpus, sh=sh)).collect()
+    sh.unpersist()
     by_cluster = {}
     for r in clusters:
         by_cluster.setdefault(r.cluster_id, []).append(r)

@@ -212,6 +212,33 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
     add("pipeline_hash_split", "zero Exchange (pure projection)", n_ex == 0,
         f"{n_ex} exchanges")
 
+    # --- r4: repetition metrics are per-row (zero exchanges) --------------
+    p = formatted_plan(q["text_repetition"](spark, sf_dir))
+    plans["text_repetition"] = p
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    add("text_repetition", "zero Exchange (per-row higher-order exprs)",
+        n_ex == 0, f"{n_ex} exchanges")
+
+    # --- r4: interval join broadcasts the filtered side -------------------
+    p = formatted_plan(q["j_interval_overlap"](spark, sf_dir))
+    plans["j_interval_overlap"] = p
+    add("j_interval_overlap", "filtered side broadcast (no hash partitioning "
+        "on the low-cardinality event_type key)",
+        "BroadcastHashJoin" in p
+        and not re.search(r"Exchange hashpartitioning\(event_type", p))
+
+    # --- r4: minhash self-join reuses the signature pipeline (RUNTIME) ----
+    # exchange reuse is an AQE stage-level decision — invisible statically,
+    # so execute and inspect the final plan
+    df = q["dedup_minhash_lsh"](spark, sf_dir)
+    df.collect()
+    jvm = df.sparkSession._jvm
+    fp = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    add("dedup_minhash_lsh", "AQE final plan reuses the (band,sig) exchange "
+        "(signature pipeline computed once)",
+        "isFinalPlan=true" in fp and "ReusedExchange" in fp)
+
     # --- composed pipeline: text never shuffles ---------------------------
     p = formatted_plan(q["pipeline_training_corpus"](spark, sf_dir))
     plans["pipeline_training_corpus"] = p
