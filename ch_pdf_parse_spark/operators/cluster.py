@@ -90,19 +90,32 @@ def resolve_clusters(nodes: DataFrame, pairs: DataFrame,
     pointer-jump self-join always finds its parent row. NULL doc_ids can
     never join an edge, keep a NULL label, and emit (NULL, NULL, NULL) —
     identical to the oracle's recursive CTE."""
+    # symmetrize in ONE pass over `pairs` (explode of both directions): a
+    # union of two selects would plan the candidate-detector subtree TWICE —
+    # at sf0.1 that was half of a 54 s edge materialization
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"),
-                         F.col("doc_a").alias("dst")))
+        pairs.select(F.explode(F.array(
+            F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+            F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+        )).alias("e"))
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
+    # materialize the edge list ONCE, eagerly: the candidate detectors that
+    # produce `pairs` are the expensive part, and a lazy persist would re-run
+    # them inside the first loop iteration's (multi-branch) plan
+    edges.count()
     labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
-    labels = labels.localCheckpoint(eager=True)
-    # exact decimal sum: int64 sum could overflow at 10^12 nodes × 10^12 ids
-    prev_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    labels = labels.localCheckpoint(eager=False)
+    # exact decimal sum: int64 sum could overflow at 10^12 nodes × 10^12 ids.
+    # The agg action doubles as the checkpoint materializer — ONE job per
+    # round, not checkpoint + agg separately.
+    def _sum(df):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _sum(labels)
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges["src"] == labels["doc_id"])
@@ -114,16 +127,21 @@ def resolve_clusters(nodes: DataFrame, pairs: DataFrame,
             .select("doc_id",
                     F.least("label", F.col("nl")).alias("label"))
         )
-        parent = relaxed.select(F.col("doc_id").alias("p_id"),
-                                F.col("label").alias("p_label"))
+        # pointer jump THROUGH THE PREVIOUS labels (already checkpointed):
+        # L_new(v) = L_old(relax(v)). If L_old pointers span distance d, relax
+        # spans d+1 and the jump composes to 2d+1 — the same doubling
+        # recurrence as jumping through relax itself, without planning the
+        # relax subtree on both sides of a self-join (which would compute the
+        # edge join twice per round unless AQE happened to reuse the stage).
+        parent = labels.select(F.col("doc_id").alias("p_id"),
+                               F.col("label").alias("p_label"))
         jumped = (
             relaxed.join(parent, relaxed["label"] == parent["p_id"], "left")
             .select("doc_id",
                     F.coalesce("p_label", "label").alias("label"))
         )
-        labels = jumped.localCheckpoint(eager=True)
-        new_sum = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        labels = jumped.localCheckpoint(eager=False)
+        new_sum = _sum(labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

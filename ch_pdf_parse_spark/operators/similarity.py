@@ -435,12 +435,16 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_SPARK_D.format(v="embedding")).alias("v"))
-    assigned = e.withColumn("cells", _top_cells(F.col("v")))
-    corpus = assigned.select(
+    corpus = e.withColumn("cells", _top_cells(F.col("v"))).select(
         "vec_id", "v", F.element_at("cells", 1).alias("cell"))
-    probes = assigned.where(F.col("vec_id") % 97 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.explode("cells").alias("cell"))
+    # probe-side: filter BEFORE assignment so the %97 predicate reaches the
+    # scan and the UDF runs over O(queries) rows, not a second full corpus
+    # pass (r4; the assignment is per-row, so values are identical)
+    probes = (e.where(F.col("vec_id") % 97 == 0)
+              .withColumn("cells", _top_cells(F.col("v")))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("v").alias("qv"),
+                      F.explode("cells").alias("cell")))
     cand = (
         probes.join(corpus.alias("c"),
                     (F.col("c.cell") == probes["cell"])
@@ -558,12 +562,14 @@ def _ivf_plan(spark: SparkSession, sf_dir: str, centroids: np.ndarray,
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_SPARK_D.format(v="embedding")).alias("v"))
-    assigned = e.withColumn("cells", top_cells(F.col("v")))
-    corpus = assigned.select(
+    corpus = e.withColumn("cells", top_cells(F.col("v"))).select(
         "vec_id", "v", F.element_at("cells", 1).alias("cell"))
-    probes = assigned.where(F.col("vec_id") % 97 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.explode("cells").alias("cell"))
+    # filter before assignment: probe-side UDF over O(queries) rows (r4)
+    probes = (e.where(F.col("vec_id") % 97 == 0)
+              .withColumn("cells", top_cells(F.col("v")))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("v").alias("qv"),
+                      F.explode("cells").alias("cell")))
     cand = (
         probes.join(corpus.alias("c"),
                     (F.col("c.cell") == probes["cell"])
