@@ -8,20 +8,24 @@ CLUSTERS and drop all but one document per cluster (A~B, B~C ⇒ keep one of
 three; naïve per-pair dropping over-deletes chains). This module adds that
 final stage (round-3 verdict item #1):
 
-* ``resolve_clusters`` — distributed connected components by iterated min-id
-  label propagation WITH pointer jumping (label ← label's label each round),
-  the hash-to-min family: the pointer-jump doubles the distance a label has
-  travelled per round, so convergence is O(log n) rounds for any graph
-  (including paths, where plain neighbor-relaxation needs diameter rounds —
-  the same reason the alternating large-star/small-star algorithm is
-  logarithmic). Each round shuffles only (doc_id, label) int64 pairs plus the
-  edge list — document text never enters the loop. Convergence is detected
-  by the monotone label-sum invariant (labels only ever decrease, so the
-  exact decimal sum strictly decreases until fixpoint), one scalar per round;
-  ``max_iters`` (default 48 ≈ doubling headroom for 2^40 nodes) is a loud
-  RuntimeError backstop, never a silent truncation. At 100 TB the same loop
-  runs with a reliable ``spark.sparkContext.setCheckpointDir`` target instead
-  of ``localCheckpoint`` (the lineage-truncation point is identical).
+* ``resolve_clusters`` — distributed connected components by ALTERNATING
+  LARGE-STAR/SMALL-STAR edge rewriting (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14): each round every node
+  reconnects its larger neighbors (large-star) and then its smaller-or-equal
+  neighbors (small-star) to the minimum of its known neighborhood, REWRITING
+  THE EDGE SET until every component is a star centered at its minimum id.
+  Rewriting edges is what makes this logarithmic: a fixed-edge label
+  propagation — even with pointer jumping over the labels — must still carry
+  the component min across the ORIGINAL graph's diameter (measured on a
+  100k-node random functional graph: 300 rounds for label+jump vs 10 for
+  LS/SS; a 512-chain needs 10 LS/SS rounds). Each round shuffles only int64
+  edge pairs — document text never enters the loop. Convergence = edge-set
+  fixpoint, checked exactly (count + exceptAll, no hash-collision early
+  stop); ``max_iters`` (default 48; the worst-case bound is O(log² n)
+  rounds, observed ≈log n) is a loud RuntimeError backstop, never a silent
+  truncation. At 100 TB the same loop runs with a reliable
+  ``spark.sparkContext.setCheckpointDir`` target instead of
+  ``localCheckpoint`` (the lineage-truncation point is identical).
 
 * ``dedup_clusters`` — the driver query: clusters over the UNION of the three
   text detectors' candidate pairs on the shared dup corpus, emitting
@@ -76,6 +80,21 @@ def candidate_pairs_union(corpus: DataFrame,
     return p_min.unionByName(p_sim).unionByName(p_jac)
 
 
+def _symmetrize(e: DataFrame) -> DataFrame:
+    """Undirected edge set from a directed (src, dst) stream, in ONE pass
+    (explode of both directions — a union of two selects would plan the
+    upstream subtree twice; at sf0.1 that doubled a 54 s materialization)."""
+    return (
+        e.select(F.explode(F.array(
+            F.struct(F.col("src"), F.col("dst")),
+            F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        )).alias("e"))
+        .select("e.src", "e.dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def resolve_clusters(nodes: DataFrame, pairs: DataFrame,
                      max_iters: int = MAX_CC_ITERS) -> DataFrame:
     """Connected components over ``pairs`` (doc_a, doc_b) restricted to
@@ -83,84 +102,74 @@ def resolve_clusters(nodes: DataFrame, pairs: DataFrame,
     is_keeper) where cluster_id = min doc_id reachable and is_keeper ⇔
     doc_id == cluster_id (deterministic min-id keeper).
 
-    Rounds alternate edge-relaxation (label ← min over neighbors' labels)
-    with pointer jumping (label ← label's label); see module docstring for
-    the O(log n) convergence argument. Labels are always node ids (induction:
-    they start as own id and only ever move to another label), so the
-    pointer-jump self-join always finds its parent row. NULL doc_ids can
-    never join an edge, keep a NULL label, and emit (NULL, NULL, NULL) —
-    identical to the oracle's recursive CTE."""
-    # symmetrize in ONE pass over `pairs` (explode of both directions): a
-    # union of two selects would plan the candidate-detector subtree TWICE —
-    # at sf0.1 that was half of a 54 s edge materialization
-    edges = (
-        pairs.select(F.explode(F.array(
-            F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
-            F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
-        )).alias("e"))
-        .select("e.src", "e.dst")
-        .distinct()
-        .persist()
-    )
+    Alternating large-star/small-star (module docstring): per round, with
+    m(u) = min of u's closed neighborhood,
+      * large-star reconnects every neighbor v > u to m(u);
+      * small-star reconnects every neighbor v ≤ u (and u itself) to the min
+        of the ≤-neighborhood —
+    until the edge set is a fixpoint (then every component is a star around
+    its min id, so the label is ``least(id, min neighbor)``). NULL doc_ids
+    can never appear in a detector pair, take a NULL label from the left
+    join, and emit (NULL, NULL, NULL) — identical to the oracle's recursive
+    CTE."""
+    edges = _symmetrize(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst"))
+    ).localCheckpoint(eager=False)
     # materialize the edge list ONCE, eagerly: the candidate detectors that
-    # produce `pairs` are the expensive part, and a lazy persist would re-run
-    # them inside the first loop iteration's (multi-branch) plan
-    edges.count()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
-    labels = labels.localCheckpoint(eager=False)
-    # exact decimal sum: int64 sum could overflow at 10^12 nodes × 10^12 ids.
-    # The agg action doubles as the checkpoint materializer — ONE job per
-    # round, not checkpoint + agg separately.
-    def _sum(df):
-        return df.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-
-    prev_sum = _sum(labels)
-    for _ in range(max_iters):
-        nbr = (
-            edges.join(labels, edges["src"] == labels["doc_id"])
-            .groupBy("dst").agg(F.min("label").alias("nl"))
-            .withColumnRenamed("dst", "doc_id")
-        )
-        relaxed = (
-            labels.join(nbr, "doc_id", "left")
-            .select("doc_id",
-                    F.least("label", F.col("nl")).alias("label"))
-        )
-        # pointer jump THROUGH THE PREVIOUS labels (already checkpointed):
-        # L_new(v) = L_old(relax(v)). If L_old pointers span distance d, relax
-        # spans d+1 and the jump composes to 2d+1 — the same doubling
-        # recurrence as jumping through relax itself, without planning the
-        # relax subtree on both sides of a self-join (which would compute the
-        # edge join twice per round unless AQE happened to reuse the stage).
-        parent = labels.select(F.col("doc_id").alias("p_id"),
-                               F.col("label").alias("p_label"))
-        jumped = (
-            relaxed.join(parent, relaxed["label"] == parent["p_id"], "left")
-            .select("doc_id",
-                    F.coalesce("p_label", "label").alias("label"))
-        )
-        labels = jumped.localCheckpoint(eager=False)
-        new_sum = _sum(labels)
-        if new_sum == prev_sum:
+    # produce `pairs` are the expensive part, and a lazy handle would re-run
+    # them inside the first round's (multi-branch) plan
+    n_edges = edges.count()
+    rounds = 0
+    while n_edges > 0 and rounds < max_iters:
+        rounds += 1
+        mins = (edges.groupBy("src").agg(F.min("dst").alias("mnd"))
+                .select("src", F.least("src", "mnd").alias("m")))
+        large = (edges.join(mins, "src")
+                 .where(F.col("dst") > F.col("src"))
+                 .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
+        e2 = _symmetrize(large)
+        # small-star processes each undirected edge once, from its larger
+        # endpoint (dst <= src side of the symmetric set)
+        sel = e2.where(F.col("dst") <= F.col("src"))
+        mins2 = (sel.groupBy("src").agg(F.min("dst").alias("mnd"))
+                 .select("src", F.least("src", "mnd").alias("m")))
+        small = (sel.join(mins2, "src")
+                 .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                 .unionByName(mins2.select("src", F.col("m").alias("dst"))))
+        new_edges = _symmetrize(small).localCheckpoint(eager=False)
+        new_count = new_edges.count()
+        # exact fixpoint check (sets, so ⊆ + equal cardinality ⇔ equal);
+        # no hash-sum shortcut — a collision would silently stop early
+        if new_count == n_edges and new_edges.exceptAll(edges).isEmpty():
+            edges = new_edges
             break
-        prev_sum = new_sum
+        edges, n_edges = new_edges, new_count
     else:
-        raise RuntimeError(
-            f"connected components did not converge in {max_iters} rounds — "
-            "pathological graph or a non-monotone label bug")
-    edges.unpersist()
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("cluster_id"),
-        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+        if n_edges > 0:
+            raise RuntimeError(
+                f"connected components did not converge in {max_iters} "
+                "large-star/small-star rounds — worst case is O(log² n), "
+                "observed ~log n; check for a rewrite bug")
+    starmin = edges.groupBy("src").agg(F.min("dst").alias("mnd"))
+    return (
+        nodes.join(starmin, nodes["doc_id"] == starmin["src"], "left")
+        .select(
+            nodes["doc_id"],
+            F.least("doc_id", F.coalesce("mnd", "doc_id")).alias("cluster_id"),
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+        )
     )
 
 
-# F.least skips NULLs like SQL LEAST — but here both operands are only NULL
-# together (a NULL doc_id never matches an edge, so nl is NULL too), so the
-# semantics are exact. The oracle below mirrors the whole fixpoint with the
-# textbook recursive min-reachable-id CTE: walk(id, r) enumerates every
+# F.least skips NULLs like SQL LEAST — but in the final label select both
+# operands are only NULL together (a NULL doc_id can't join a star edge), so
+# the semantics are exact. The oracle below mirrors the whole fixpoint with
+# the textbook recursive min-reachable-id CTE: walk(id, r) enumerates every
 # (node, reachable node) pair with UNION dedup, then min(r) per id — small
 # components make this linear-ish; it is an ORACLE, not the scale path.
 

@@ -48,10 +48,11 @@ def test_matches_union_find_on_random_graph(spark):
 
 
 def test_path_graph_converges_logarithmically(spark):
-    """A 128-node path is the diameter worst case: plain neighbor relaxation
-    needs 127 rounds, the pointer-jumping loop must stay logarithmic. The
-    max_iters=12 bound (~1.7·log2 n) doubles as the regression pin — if a
-    change degrades convergence to linear, this raises RuntimeError."""
+    """A 128-node path is the diameter worst case: plain label relaxation
+    needs 127 rounds, the large-star/small-star rewrite must stay
+    logarithmic. The max_iters=12 bound (~1.7·log2 n) doubles as the
+    regression pin — if a change degrades convergence to linear, this
+    raises RuntimeError."""
     n = 128
     ids = list(range(n))
     pairs = [(i, i + 1) for i in range(n - 1)]
