@@ -498,6 +498,7 @@ def _load_operator_modules() -> None:
     from .operators import (  # noqa: F401
         cluster,
         dedup,
+        mixing,
         multimodal,
         order_metrics,
         relational_ops,
