@@ -29,12 +29,13 @@ from . import fixtures
 from .core import extract_document
 
 # bump when any golden-producing rule changes so stale caches regenerate
-GOLDEN_VERSION = "v1"
+GOLDEN_VERSION = "v2"  # v2: + phash dedup table
 
 SPANS = "golden_spans.parquet"
 MARKDOWN = "golden_markdown.parquet"
 MEDIA_FEATURES = "golden_media_features.parquet"
 FRAME_SAMPLE = "golden_frame_sample.parquet"
+PHASH_DEDUP = "golden_phash_dedup.parquet"
 
 
 def _media_rows(doc_id: str, spans: list[tuple[str, str, str, int]]):
@@ -77,6 +78,9 @@ def write_golden(sf: float, base: str | None = None,
     md_rows: list[tuple] = []
     feat_rows: list[tuple] = []
     frame_rows: list[tuple] = []
+    phash_media: list[tuple] = []  # (doc_id, media_ref, phash)
+    from .operators.multimodal import _decode_image, dhash64_py, media_meta_py
+
     for doc_id, spans in zip(docs.column("doc_id").to_pylist(),
                              docs.column("spans").to_pylist()):
         raw = [(s["kind"], s["text"], s["media_ref"], s["offset"])
@@ -90,6 +94,24 @@ def write_golden(sf: float, base: str | None = None,
             if mtype == "video":
                 frame_rows.extend(
                     (d, ref, i) for i in range(0, n_frames, 4))
+        # phash corpus: every media object, plus a '#dup' copy for docs
+        # whose id ends in 0/3 (operators/multimodal._phash_corpus twin)
+        for kind, _t, ref, _o in raw:
+            if ref == "":
+                continue
+            w, h, _nf, payload = media_meta_py(ref)
+            ph = dhash64_py(_decode_image(payload, w, h))
+            phash_media.append((doc_id, ref, ph))
+            if doc_id and doc_id[-1] in ("0", "3"):
+                phash_media.append((doc_id + "#dup", ref, ph))
+    phash_groups: dict[str, list[tuple]] = {}
+    for d, ref, ph in phash_media:
+        phash_groups.setdefault(ph, []).append((d, ref))
+    phash_rows = [
+        (ph, len(ms), len({r for _, r in ms}),
+         min(d for d, _ in ms), min(r for _, r in ms))
+        for ph, ms in phash_groups.items()
+    ]
 
     # Atomic publish: write each table (and the marker) to a tmp path and
     # os.replace into place, so a concurrent oracle_sql() either sees the
@@ -125,6 +147,13 @@ def write_golden(sf: float, base: str | None = None,
         "media_ref": pa.array([r[1] for r in frame_rows], pa.string()),
         "frame_idx": pa.array([r[2] for r in frame_rows], pa.int32()),
     })
+    _write(PHASH_DEDUP, {
+        "phash": pa.array([r[0] for r in phash_rows], pa.string()),
+        "n_media": pa.array([r[1] for r in phash_rows], pa.int64()),
+        "n_refs": pa.array([r[2] for r in phash_rows], pa.int64()),
+        "keeper_doc": pa.array([r[3] for r in phash_rows], pa.string()),
+        "keeper_ref": pa.array([r[4] for r in phash_rows], pa.string()),
+    })
     tmp_marker = f"{marker}.tmp.{os.getpid()}"
     with open(tmp_marker, "w") as f:
         f.write(GOLDEN_VERSION)
@@ -148,4 +177,6 @@ def golden_sql(sf: float, base: str | None = None) -> dict[str, str]:
             MEDIA_FEATURES, "doc_id, media_ref, media_type, n_bytes, f0"),
         "multimodal_frame_sample": sel(FRAME_SAMPLE,
                                        "doc_id, media_ref, frame_idx"),
+        "multimodal_phash_dedup": sel(
+            PHASH_DEDUP, "phash, n_media, n_refs, keeper_doc, keeper_ref"),
     }

@@ -170,3 +170,83 @@ def _expected_feature(media_ref: str, width: int, height: int, dim: int = 8):
     payload = media_meta_py(media_ref)[3]
     img = _decode_image(payload, width, height)
     return [float(np.round(b.mean(), 3)) for b in np.array_split(img, dim)]
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup
+# ---------------------------------------------------------------------------
+
+
+def dhash64_py(img: np.ndarray) -> str:
+    """64-bit difference hash (dHash) of a grayscale image, as 16 hex chars:
+    block-mean downsample to an 8×9 grid, bit j set iff the right neighbor
+    is brighter. The string form sidesteps int64 sign issues and hashes/
+    compares identically on both engines. ONE definition — the mapInPandas
+    kernel and the golden-parquet oracle both call this."""
+    bits = 0
+    k = 0
+    for band in np.array_split(img, 8, axis=0):
+        cells = [float(np.mean(c)) for c in np.array_split(band, 9, axis=1)]
+        for j in range(8):
+            bits |= (1 if cells[j + 1] > cells[j] else 0) << k
+            k += 1
+    return format(bits, "016x")
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """(doc_id, media_ref, phash) via the decode stub + dHash — the same
+    Arrow-batched mapInPandas shape as extract_media_features."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("phash", T.StringType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = [
+                dhash64_py(_decode_image(bytes(payload), int(meta["width"]),
+                                         int(meta["height"])))
+                for payload, meta in zip(pdf["payload"], pdf["meta"])
+            ]
+            out = pdf[["doc_id", "media_ref"]].copy()
+            out["phash"] = hashes
+            yield out
+
+    from ..packaging import ensure_on_executors
+
+    ensure_on_executors(media.sparkSession)
+    return media.mapInPandas(batches, schema)
+
+
+def _phash_corpus(docs: DataFrame) -> DataFrame:
+    """Media corpus ∪ injected cross-document duplicates (docs whose id ends
+    in 0 or 3 contribute a '#dup' copy of every media object) — gives the
+    phash groups real multi-document work; the golden oracle mirrors the
+    rule in pure Python (golden.py)."""
+    media = synthesize_media(docs)
+    dups = (media.where(F.substring("doc_id", -1, 1).isin("0", "3"))
+            .withColumn("doc_id", F.concat("doc_id", F.lit("#dup"))))
+    return media.unionByName(dups)
+
+
+@register("multimodal_phash_dedup", None)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by perceptual hash: decode (stub) → dHash64 → exact-hash
+    groups with deterministic keepers — the image-side analog of
+    ``dedup_exact``. At 100 TB the groupBy shuffles only (phash, doc_id,
+    media_ref) — never the payload bytes; a near-dup variant would band the
+    64 bits into chunks exactly like ``dedup_simhash`` (same plan, hamming
+    re-rank). Hash-checked against the golden-parquet oracle (the pure-
+    Python dhash64_py over the same corpus + injection rule)."""
+    corpus = _phash_corpus(fixture_docs(spark, sf_dir))
+    return (
+        phash_media(corpus)
+        .groupBy("phash")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.countDistinct("media_ref").alias("n_refs"),
+            F.min("doc_id").alias("keeper_doc"),
+            F.min("media_ref").alias("keeper_ref"),
+        )
+    )

@@ -27,3 +27,23 @@ def test_frame_sampling(spark, docs_df):
     want = sum((r["n_frames"] + 3) // 4 for r in vids.collect())
     assert frames.count() == want
     assert frames.where("frame_idx % 4 != 0").count() == 0
+
+
+def test_phash_dedup_groups_and_keepers(spark):
+    """The '#dup' injection must produce multi-document phash groups with
+    the lexicographic-min keeper; python twin and Spark kernel agree."""
+    from ch_pdf_parse_spark.operators.multimodal import (
+        _decode_image, dhash64_py, media_meta_py, multimodal_phash_dedup)
+
+    rows = multimodal_phash_dedup(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    multi = [r for r in rows if r.n_media >= 2]
+    assert multi, "dup injection must create multi-member groups"
+    for r in rows:
+        assert len(r.phash) == 16 and int(r.phash, 16) >= 0
+        assert r.n_refs <= r.n_media
+        assert not r.keeper_doc.endswith("#dup") or r.n_media == 1
+    # spot-check the kernel against the pure-python twin for one real ref
+    ref = next(r.keeper_ref for r in rows)
+    w, h, _nf, payload = media_meta_py(ref)
+    assert dhash64_py(_decode_image(payload, w, h)) in {x.phash for x in rows}

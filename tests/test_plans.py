@@ -180,3 +180,27 @@ def test_simhash_self_join_reuses_signature_pipeline(spark):
     plan = _final_plan(dedup_simhash(spark, "/root/testdata/sf0.001"))
     assert "isFinalPlan=true" in plan, plan
     assert "ReusedExchange" in plan, plan
+
+
+def test_source_mix_broadcasts_thresholds_and_prunes_scan(spark):
+    """The per-source thresholds broadcast back onto the corpus (no shuffle
+    of the doc side) and the scan reads only (doc_id, source) — the text
+    column never leaves the parquet footer."""
+    from ch_pdf_parse_spark.operators.mixing import pipeline_source_mix
+
+    plan = _formatted(pipeline_source_mix(spark, "/root/testdata/sf0.01"))
+    assert "BroadcastHashJoin" in plan, plan
+    rs = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert rs and all("text" not in s for s in rs), rs
+
+
+def test_pack_sequences_single_bucket_exchange(spark):
+    """Packing is per-bucket parallel: exactly one exchange, on the bucket
+    key, for the prefix-sum window."""
+    from ch_pdf_parse_spark.operators.mixing import pipeline_pack_sequences
+
+    plan = _formatted(pipeline_pack_sequences(spark, "/root/testdata/sf0.01"))
+    ex = re.findall(
+        r"\(\d+\) Exchange\n(?:Input[^\n]*\n)?Arguments: hashpartitioning\(([^,]*)",
+        plan)
+    assert len(ex) == 1 and ex[0].startswith("bucket"), (ex, plan)
