@@ -162,6 +162,8 @@ def main() -> None:
         from ch_pdf_parse_spark.operators.cluster import dedup_clusters
         from ch_pdf_parse_spark.operators.dedup import (
             dedup_minhash_lsh, pipeline_decontaminate)
+        from ch_pdf_parse_spark.operators.mixing import (
+            pipeline_pack_sequences, pipeline_source_mix)
         from ch_pdf_parse_spark.operators.relational_ops import agg_pricing_summary
         from ch_pdf_parse_spark.operators.similarity import (
             sim_ann_ivf_kmeans, sim_topk_bruteforce)
@@ -171,7 +173,9 @@ def main() -> None:
                          ("q_sim_topk", sim_topk_bruteforce),
                          ("q_sim_ann_ivf_kmeans", sim_ann_ivf_kmeans),
                          ("q_agg_pricing", agg_pricing_summary),
-                         ("q_decontaminate", pipeline_decontaminate)]:
+                         ("q_decontaminate", pipeline_decontaminate),
+                         ("q_source_mix", pipeline_source_mix),
+                         ("q_pack_sequences", pipeline_pack_sequences)]:
             # runs_min=2 (round-3 verdict nit #3): a single quiet sample must
             # not set the recorded number on a box with 5x steal variance —
             # two fastest must agree within tolerance before we record.

@@ -239,6 +239,23 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
         "(signature pipeline computed once)",
         "isFinalPlan=true" in fp and "ReusedExchange" in fp)
 
+    # --- r4: corpus mixing ------------------------------------------------
+    p = formatted_plan(q["pipeline_source_mix"](spark, sf_dir))
+    plans["pipeline_source_mix"] = p
+    rs = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    add("pipeline_source_mix", "thresholds broadcast; scan never reads text",
+        "BroadcastHashJoin" in p and bool(rs)
+        and all("text" not in s for s in rs))
+
+    p = formatted_plan(q["pipeline_pack_sequences"](spark, sf_dir))
+    plans["pipeline_pack_sequences"] = p
+    pack_ex = re.findall(
+        r"\(\d+\) Exchange\n(?:Input[^\n]*\n)?Arguments: hashpartitioning\(([^,]*)",
+        p)
+    add("pipeline_pack_sequences", "exactly one exchange, on the pack bucket",
+        len(pack_ex) == 1 and pack_ex[0].startswith("bucket"),
+        str(pack_ex))
+
     # --- composed pipeline: text never shuffles ---------------------------
     p = formatted_plan(q["pipeline_training_corpus"](spark, sf_dir))
     plans["pipeline_training_corpus"] = p
