@@ -236,10 +236,17 @@ def main() -> None:
     except (duckdb.Error, OSError) as e:
         # optional telemetry: a missing/unreadable embeddings table raises
         # duckdb.IOException (a duckdb.Error, NOT OSError — verified MRO).
-        # Catch ONLY the table-unavailable shapes so a logic regression in
-        # exact_topk/recall or a Spark failure surfaces loudly instead of
-        # silently dropping recall_at_3 from the JSON (round-3 advice).
         print(f"warning: recall telemetry unavailable: {e!r}", file=sys.stderr)
+    except Exception:  # noqa: BLE001
+        # anything else (e.g. a transient Py4J/executor failure under this
+        # box's steal spikes) must surface LOUDLY — full traceback on stderr,
+        # per round-3 advice — but may not cost the run its one-JSON-line
+        # stdout contract after every query timing already succeeded
+        import traceback
+
+        print("warning: recall telemetry failed unexpectedly:",
+              file=sys.stderr)
+        traceback.print_exc()
 
     # N→4N scaling evidence: same job, same input, two parallelism levels
     # (no real cluster in-sandbox; BASELINE.json criterion ≥0.8).

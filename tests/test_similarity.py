@@ -74,7 +74,17 @@ def test_kmeans_codebook_deterministic_and_oracle_aligned():
     assert a.shape == (N_CELLS, DIM)
     assert np.array_equal(a, b)
     assert all(float(repr(float(x))) == x for x in a.ravel())
-    assert _CODEBOOK_CACHE is not None  # cache is keyed by (path,size,mtime)
+    # pin the cache-key contract (round-3 advice fix): keys carry the
+    # embeddings file's (path, size, mtime_ns) so an in-place rewrite can
+    # never serve a stale codebook
+    import os as _os
+
+    from ch_pdf_parse_spark.operators.similarity import _codebook
+
+    _codebook(sf)
+    st = _os.stat(_os.path.join(sf, "embeddings.parquet"))
+    key = (_os.path.join(sf, "embeddings.parquet"), st.st_size, st.st_mtime_ns)
+    assert key in _CODEBOOK_CACHE
 
 
 def test_kmeans_codebook_margins_every_testdata_scale():

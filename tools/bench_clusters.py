@@ -40,19 +40,27 @@ def main() -> None:
         #   [0, n/4)        chains of chain_len consecutive ids
         #   [n/4, n/2)      stars of 1000 leaves on a hub (skew shape)
         #   [n/2, n)        random pairs via a portable mix
+        # band boundaries aligned to their own strides so no component can
+        # alias across bands for ANY n (round-4 review: id - id % 1000 put
+        # the first star hub inside the chain band when n//4 wasn't a
+        # multiple of 1000)
+        n4 = (n // 4 // chain_len) * chain_len          # chain band end
+        n2 = n4 + ((n // 2 - n4) // 1000) * 1000        # star band end
         ids = spark.range(n).withColumnRenamed("id", "doc_id")
-        chain = (spark.range(0, n // 4 - 1)
+        chain = (spark.range(0, max(n4 - 1, 0))
                  .where((F.col("id") % chain_len) != chain_len - 1)
                  .select(F.col("id").alias("doc_a"),
                          (F.col("id") + 1).alias("doc_b")))
-        star = (spark.range(n // 4, n // 2)
-                .select((F.col("id") - (F.col("id") % 1000)).alias("doc_a"),
+        star = (spark.range(n4, n2)
+                .select((F.lit(n4)
+                         + ((F.col("id") - n4) - ((F.col("id") - n4) % 1000)))
+                        .alias("doc_a"),
                         F.col("id").alias("doc_b"))
                 .where(F.col("doc_a") != F.col("doc_b")))
-        rand = (spark.range(n // 2, n)
+        rand = (spark.range(n2, n)
                 .select(F.col("id").alias("doc_a"),
-                        (F.lit(n // 2)
-                         + F.pmod(F.xxhash64("id"), F.lit(n // 2)))
+                        (F.lit(n2)
+                         + F.pmod(F.xxhash64("id"), F.lit(max(n - n2, 1))))
                         .cast("long").alias("doc_b"))
                 .where(F.col("doc_a") != F.col("doc_b")))
         pairs = chain.unionByName(star).unionByName(rand)
@@ -66,13 +74,14 @@ def main() -> None:
 
         # ground truth for the constructed regimes
         bad_chain = rows.where(
-            (F.col("doc_id") < n // 4 - 1)
+            (F.col("doc_id") < n4)
             & (F.col("cluster_id") !=
                F.col("doc_id") - (F.col("doc_id") % chain_len))).count()
         bad_star = rows.where(
-            (F.col("doc_id") >= n // 4) & (F.col("doc_id") < n // 2)
+            (F.col("doc_id") >= n4) & (F.col("doc_id") < n2)
             & (F.col("cluster_id") !=
-               F.col("doc_id") - (F.col("doc_id") % 1000))).count()
+               F.lit(n4) + ((F.col("doc_id") - n4)
+                            - ((F.col("doc_id") - n4) % 1000)))).count()
         n_keepers = rows.where("is_keeper").count()
         n_clusters = rows.select("cluster_id").distinct().count()
         assert bad_chain == 0 and bad_star == 0, (bad_chain, bad_star)
