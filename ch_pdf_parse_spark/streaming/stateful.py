@@ -64,6 +64,23 @@ def _span_tuple(d: dict) -> tuple:
 _PENDING = -1   # total_pages not yet known
 _DONE = -2      # tombstone: document already emitted
 
+_TTL_UNIT_MS = {"millisecond": 1, "milliseconds": 1,
+                "second": 1000, "seconds": 1000,
+                "minute": 60_000, "minutes": 60_000,
+                "hour": 3_600_000, "hours": 3_600_000}
+
+
+def _ttl_ms(ttl: str | int) -> int:
+    """Duration string ('30 minutes') or raw ms → milliseconds.
+    PySpark's GroupState.setTimeoutDuration accepts ONLY an int of ms —
+    passing the human-readable string crashed every real done_ttl stream
+    (found by the round-4 end-to-end expiry test; the fake-state unit test
+    recorded whatever object it was handed and masked it)."""
+    if isinstance(ttl, int):
+        return ttl
+    n, unit = ttl.split()
+    return int(n) * _TTL_UNIT_MS[unit]
+
 
 def _assemble(key, pdfs: Iterator[pd.DataFrame], state: GroupState,
               done_ttl: str | None = None):
@@ -103,7 +120,7 @@ def _assemble(key, pdfs: Iterator[pd.DataFrame], state: GroupState,
         recs, md = core.extract_document([_span_tuple(d) for d in spans])
         state.update((_DONE, ""))
         if done_ttl is not None:
-            state.setTimeoutDuration(done_ttl)
+            state.setTimeoutDuration(_ttl_ms(done_ttl))
         yield pd.DataFrame(
             [{"doc_id": doc_id, "n_spans": len(recs), "markdown": md}])
     else:
@@ -118,9 +135,16 @@ def assemble_documents(pages: DataFrame,
     exactly once, when all its pages have arrived (across micro-batches
     and restarts). Completion leaves a few-byte tombstone in state so that
     pages redelivered after emission are absorbed rather than accumulating
-    zombie partial state; pass ``done_ttl`` (e.g. ``"30 minutes"``) to
-    expire tombstones once the upstream's redelivery window has passed,
-    bounding state size on unbounded corpora."""
+    zombie partial state; pass ``done_ttl`` (e.g. ``"30 minutes"``, or raw
+    milliseconds) to expire tombstones once the upstream's redelivery window
+    has passed, bounding state size on unbounded corpora.
+
+    Operational caveat (measured): a query with processing-time timeouts
+    NEVER self-terminates under ``trigger(availableNow=True)`` — Spark keeps
+    scheduling empty micro-batches to service future timeouts. With
+    ``done_ttl`` set, run a continuous trigger (timeouts fire on the empty
+    batches) and stop the query explicitly; use availableNow only for the
+    no-ttl drain shape."""
     timeout = (GroupStateTimeout.ProcessingTimeTimeout if done_ttl
                else GroupStateTimeout.NoTimeout)
 

@@ -260,9 +260,72 @@ def test_done_ttl_expiry_removes_tombstone():
     pdf = pd.DataFrame(rows, columns=["page", "total_pages", "spans_json"])
     emitted = list(_assemble((doc.doc_id,), iter([pdf]), state, "30 minutes"))
     assert len(emitted) == 1
-    assert state.get == (-2, "") and state.ttl == "30 minutes"
+    # setTimeoutDuration must receive int MILLISECONDS (the pyspark API
+    # rejects duration strings — masked here until the real-stream test)
+    assert state.get == (-2, "") and state.ttl == 30 * 60 * 1000
 
     # the timeout fires: Spark invokes the function with no data rows
     state.hasTimedOut = True
     assert list(_assemble((doc.doc_id,), iter([]), state, "30 minutes")) == []
     assert not state.exists
+
+
+def test_done_ttl_expires_in_real_stream(spark, corpus_dir, tmp_path):
+    """End-to-end tombstone expiry through a REAL streaming query (the unit
+    test above drives a fake state — which masked that setTimeoutDuration
+    needs int milliseconds): after all docs complete, the store holds one
+    tombstone per doc; once the ttl passes, a subsequent micro-batch fires
+    the processing-time timeouts and the store drains. NB: a query with
+    processing-time timeouts never self-terminates under availableNow (Spark
+    keeps scheduling empty batches to service future timeouts — verified),
+    so this runs a continuous micro-batch trigger and stops explicitly."""
+    import time
+
+    src = str(tmp_path / "pages_ttl")
+    out = str(tmp_path / "assembled_ttl")
+    ckpt = str(tmp_path / "ckpt_ttl")
+    os.makedirs(src)
+
+    docs = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
+    n_docs = docs.count()
+    pages_of(docs).write.mode("overwrite").parquet(os.path.join(src, "d1"))
+
+    q = (
+        assemble_documents(
+            spark.readStream.schema(PAGE_ROW_SCHEMA).parquet(src + "/*"),
+            done_ttl="1 seconds")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        def state_op():
+            for p in reversed(q.recentProgress):
+                ops = p.get("stateOperators") or []
+                if ops:
+                    return ops[0]
+            return {}
+
+        deadline = time.time() + 120
+        # phase 1: every doc emitted, tombstones resident
+        while time.time() < deadline:
+            s1 = state_op()
+            if s1.get("numRowsTotal") == n_docs:
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError(f"tombstones never reached {n_docs}: {state_op()}")
+        # phase 2: ttl passes -> a later empty batch removes them all
+        while time.time() < deadline:
+            s2 = state_op()
+            if s2.get("numRowsTotal") == 0:
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError(f"tombstones never expired: {state_op()}")
+        assert spark.read.parquet(out).count() == n_docs
+    finally:
+        q.stop()
