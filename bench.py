@@ -196,10 +196,13 @@ def main() -> None:
 
     # ANN quality next to ANN speed: recall@3 vs exact brute-force top-3
     # (DuckDB oracle kernel) for the two production ANN paths — a
-    # correct-but-low-recall index would otherwise look "fast" here
-    try:
-        import duckdb
+    # correct-but-low-recall index would otherwise look "fast" here.
+    # duckdb imports OUTSIDE the try: if the import itself failed inside,
+    # evaluating `except (duckdb.Error, ...)` would raise NameError and break
+    # the one-JSON-line stdout contract this block protects (round-4 advice).
+    import duckdb
 
+    try:
         from tools.ivf_recall import exact_topk, recall
 
         want = exact_topk(SF_DIR, 3)

@@ -168,7 +168,11 @@ def golden_sql(sf: float, base: str | None = None) -> dict[str, str]:
     def sel(name: str, cols: str) -> str:
         return f"SELECT {cols} FROM read_parquet('{os.path.join(out, name)}')"
 
+    from .operators.multimodal import phash_neardup_sql
+
     return {
+        "multimodal_phash_neardup": phash_neardup_sql(
+            os.path.join(out, PHASH_DEDUP)),
         "extract_spans": sel(SPANS, "doc_id, kind, text, media_ref, ord"),
         "extract_spans_relational": sel(SPANS,
                                         "doc_id, kind, text, media_ref, ord"),

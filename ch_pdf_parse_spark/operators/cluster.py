@@ -64,16 +64,16 @@ from .dedup import (
 MAX_CC_ITERS = 48
 
 
-def candidate_pairs_union(corpus: DataFrame,
-                          sh: DataFrame | None = None) -> DataFrame:
+def candidate_pairs_union(sh: DataFrame) -> DataFrame:
     """(doc_a, doc_b) — union of the three text detectors' candidate pairs
     over one shared shingle table (persisted once: Catalyst will not reuse a
     subtree across branches that aggregate it differently, so without the
-    persist the scan+explode+distinct would run three times). Pass ``sh`` to
-    own the persist/unpersist lifecycle (the registered queries do, so
-    repeated bench invocations don't accumulate cached copies)."""
-    if sh is None:
-        sh = shingles(corpus).persist()
+    persist the scan+explode+distinct would run three times). The caller MUST
+    pass ``sh`` (shingles(corpus), persisted) and own its persist/unpersist
+    lifecycle: an sh default that persisted internally leaked one cache entry
+    per call, and Spark's cache manager silently substitutes a leaked cached
+    subtree into OTHER queries' plans, defeating their AQE exchange reuse
+    (test_cluster.py pinned exactly that failure; round-4 advice)."""
     p_min = lsh_candidate_pairs(minhash_signatures(sh))
     p_sim = simhash_pairs(simhash(sh)).select("doc_a", "doc_b")
     p_jac = ngram_jaccard_pairs(sh).select("doc_a", "doc_b")
@@ -210,7 +210,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = with_dup_corpus(_t(spark, sf_dir, "documents"))
     nodes = corpus.select("doc_id").distinct()
     sh = shingles(corpus).persist()
-    out = resolve_clusters(nodes, candidate_pairs_union(corpus, sh=sh))
+    out = resolve_clusters(nodes, candidate_pairs_union(sh))
     # safe: resolve_clusters returns localCheckpoint-backed labels, which no
     # longer reference the shingle subtree
     sh.unpersist()
@@ -230,7 +230,7 @@ def pipeline_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = with_dup_corpus(_t(spark, sf_dir, "documents"))
     nodes = corpus.select("doc_id").distinct()
     sh = shingles(corpus).persist()
-    clusters = resolve_clusters(nodes, candidate_pairs_union(corpus, sh=sh))
+    clusters = resolve_clusters(nodes, candidate_pairs_union(sh))
     sh.unpersist()
     tokens = corpus.select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))

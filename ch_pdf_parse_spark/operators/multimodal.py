@@ -235,10 +235,11 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image dedup by perceptual hash: decode (stub) → dHash64 → exact-hash
     groups with deterministic keepers — the image-side analog of
     ``dedup_exact``. At 100 TB the groupBy shuffles only (phash, doc_id,
-    media_ref) — never the payload bytes; a near-dup variant would band the
-    64 bits into chunks exactly like ``dedup_simhash`` (same plan, hamming
-    re-rank). Hash-checked against the golden-parquet oracle (the pure-
-    Python dhash64_py over the same corpus + injection rule)."""
+    media_ref) — never the payload bytes; the near-dup variant is
+    ``multimodal_phash_neardup`` below (chunk-banded hamming join, the
+    ``dedup_simhash`` plan over the same 64 bits). Hash-checked against the
+    golden-parquet oracle (the pure-Python dhash64_py over the same corpus +
+    injection rule)."""
     corpus = _phash_corpus(fixture_docs(spark, sf_dir))
     return (
         phash_media(corpus)
@@ -250,3 +251,122 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("media_ref").alias("keeper_ref"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash NEAR-dup: hamming <= 3 via chunk banding (pigeonhole)
+# ---------------------------------------------------------------------------
+
+# 4 bands of 16 bits: hamming <= 3 flips at most 3 chunks, so every true
+# near-dup pair shares at least one exact chunk — the dedup_simhash plan over
+# dHash64 (candidate equi-join per band, exact hamming re-rank, no all-pairs)
+NEARDUP_MAX_HAMMING = 3
+_N_CHUNKS = 4
+
+
+def _chunk_int(col, i: int):
+    """16-bit chunk i of a 16-hex-char phash as an int column (safe range
+    0..65535 — never the sign-trap full 64-bit conv)."""
+    return F.conv(F.substring(col, i * 4 + 1, 4), 16, 10).cast("int")
+
+
+def _hamming_expr(a: str, b: str):
+    h = None
+    for i in range(_N_CHUNKS):
+        t = F.bit_count(_chunk_int(F.col(a), i).bitwiseXOR(_chunk_int(F.col(b), i)))
+        h = t if h is None else h + t
+    return h.cast("int")
+
+
+def _variant_hash(col: str):
+    """Deterministic 2-bit perturbation (bit 3 of chunk 0, bit 12 of chunk 2)
+    — hamming 2 from the source, chunks 1 and 3 untouched, so the pair is
+    discoverable through two of the four bands. format_string('%04x') on both
+    engines (Spark's conv() emits uppercase; printf is lowercase on both)."""
+    return F.concat(
+        F.format_string("%04x", _chunk_int(F.col(col), 0).bitwiseXOR(F.lit(8))),
+        F.substring(col, 5, 4),
+        F.format_string("%04x", _chunk_int(F.col(col), 2).bitwiseXOR(F.lit(4096))),
+        F.substring(col, 13, 4),
+    )
+
+
+@register("multimodal_phash_neardup", None)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-dedup by perceptual hash: distinct dHash64 values (one row
+    per exact group, from the multimodal_phash_dedup aggregation) → inject a
+    deterministic 2-bit-flipped variant for ~1/4 of hashes (the synthetic
+    corpus' hashes are md5-derived ≈ uniform, so organic near-collisions at
+    hamming ≤ 3 are ~1e-10 likely — without injection the query would verify
+    an empty result) → 4×16-bit chunk-band self-join (pigeonhole: hamming ≤ 3
+    ⇒ some chunk equal) → exact hamming re-rank.
+
+    Scale: the join operates on DISTINCT hashes (exact groups already
+    collapsed), so degenerate exact-dup clusters cannot blow up the band
+    buckets; a hot BAND bucket (many distinct hashes sharing a 16-bit chunk)
+    would take the same windowed capacity cap dedup_simhash applies
+    (operators/dedup.py). Oracle: the same banding/hamming SQL in DuckDB over
+    the golden phash parquet (golden.py), so the hash check covers the
+    candidate generation AND the re-rank."""
+    groups = multimodal_phash_dedup(spark, sf_dir).select("phash", "n_media")
+    variants = (
+        groups.where(F.substring("phash", 16, 1).isin("0", "1", "2", "3"))
+        .select(_variant_hash("phash").alias("phash"),
+                F.lit(1).cast("long").alias("n_media"))
+    )
+    v = groups.unionByName(variants)
+    c = v.select(
+        "phash", "n_media",
+        F.posexplode(F.array(*[F.substring("phash", i * 4 + 1, 4)
+                               for i in range(_N_CHUNKS)])).alias("band", "chunk"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.phash") < F.col("b.phash")))
+        .groupBy(F.col("a.phash").alias("phash_a"),
+                 F.col("b.phash").alias("phash_b"))
+        .agg(F.min("a.n_media").alias("n_media_a"),
+             F.min("b.n_media").alias("n_media_b"))
+    )
+    return (
+        pairs.withColumn("hamming", _hamming_expr("phash_a", "phash_b"))
+        .where(F.col("hamming") <= NEARDUP_MAX_HAMMING)
+        .select("phash_a", "phash_b", "hamming", "n_media_a", "n_media_b")
+    )
+
+
+def phash_neardup_sql(golden_path: str) -> str:
+    """DuckDB oracle: the same injection + banding + hamming over the golden
+    distinct-phash parquet (registered by golden.golden_sql per sf)."""
+    def chunk(col: str, i: int) -> str:
+        return f"CAST(('0x' || substr({col}, {i * 4 + 1}, 4)) AS INTEGER)"
+
+    hamming = " + ".join(
+        f"bit_count(xor({chunk('phash_a', i)}, {chunk('phash_b', i)}))"
+        for i in range(_N_CHUNKS))
+    return f"""
+    WITH src AS (SELECT phash, n_media FROM read_parquet('{golden_path}')),
+    v AS (
+      SELECT phash, n_media FROM src
+      UNION ALL
+      SELECT printf('%04x', xor({chunk('phash', 0)}, 8))
+             || substr(phash, 5, 4)
+             || printf('%04x', xor({chunk('phash', 2)}, 4096))
+             || substr(phash, 13, 4) AS phash,
+             CAST(1 AS BIGINT) AS n_media
+      FROM src WHERE substr(phash, 16, 1) IN ('0', '1', '2', '3')),
+    c AS (SELECT phash, n_media, i AS band, substr(phash, i * 4 + 1, 4) AS chunk
+          FROM v, (SELECT unnest([0, 1, 2, 3]) AS i)),
+    pairs AS (
+      SELECT a.phash AS phash_a, b.phash AS phash_b,
+             min(a.n_media) AS n_media_a, min(b.n_media) AS n_media_b
+      FROM c a JOIN c b ON a.band = b.band AND a.chunk = b.chunk
+                        AND a.phash < b.phash
+      GROUP BY a.phash, b.phash)
+    SELECT phash_a, phash_b, CAST(({hamming}) AS INTEGER) AS hamming,
+           n_media_a, n_media_b
+    FROM pairs
+    WHERE ({hamming}) <= {NEARDUP_MAX_HAMMING}
+    """

@@ -9,42 +9,47 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import exact_sum, exact_sum_sql, q_sql, quantize, register, _t
 
+# j_interval_overlap: broadcast the filtered side only below this row count
+# (~40 B/row → ≤20 MB build side); above it, fall back to the value-banded
+# bucketing join (round-4 advice: an unconditional broadcast hint bypasses
+# autoBroadcastJoinThreshold and OOMs once the 1/53 slice outgrows memory)
+J_BROADCAST_MAX_ROWS = 500_000
+
 
 @register(
-    "f_explode_pos",
+    "f_explode_nest_roundtrip",
     """
+    WITH e AS (
+      SELECT p_partkey,
+             unnest(range(1, len(l) + 1)) - 1 AS pos,
+             unnest(l) AS word
+      FROM (SELECT p_partkey, string_split(p_name, ' ') AS l FROM part)
+    )
     SELECT p_partkey,
-           unnest(range(1, len(l) + 1)) - 1 AS pos,
-           unnest(l) AS word
-    FROM (SELECT p_partkey, string_split(p_name, ' ') AS l FROM part)
+           COALESCE(string_agg(word, ' ' ORDER BY pos), '') AS rebuilt,
+           count(*) AS n_words,
+           max(pos) AS last_pos
+    FROM e GROUP BY p_partkey
     """,
 )
-def f_explode_pos(spark, sf_dir):
-    """F1: pages→segments flatten = posexplode (the reference's stateful loop
-    over jsonlist[i]['annotate'], predict/pdf2markdown.py:225-287)."""
-    p = _t(spark, sf_dir, "part").select("p_partkey", F.split("p_name", " ").alias("l"))
-    return p.select(
-        "p_partkey", F.posexplode("l").alias("pos", "word")
-    ).withColumn("pos", F.col("pos").cast("long"))
-
-
-@register(
-    "f_nest_collect",
-    """
-    SELECT o_custkey, string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_keys,
-           count(*) AS n_orders
-    FROM orders GROUP BY o_custkey
-    """,
-)
-def f_nest_collect(spark, sf_dir):
-    """F3: segments→document nest = ordered collect_list + join
-    (predict/pdf2markdown.py:549-683 re-assembly)."""
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_custkey").agg(
+def f_explode_nest_roundtrip(spark, sf_dir):
+    """F1 + F3 in one plan (round-5 roster consolidation): pages→segments
+    flatten = posexplode (the reference's stateful loop over
+    jsonlist[i]['annotate'], predict/pdf2markdown.py:225-287), then the
+    segments→document ordered re-nest (:549-683 re-assembly). The rebuilt
+    string equals the source p_name, so the hash verifies both the flatten's
+    positions and the nest's ordering end-to-end. COALESCE pins the
+    empty-merge contract (string_agg NULL vs array_join '') though word
+    elements can never be NULL (split never emits NULL elements)."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.split("p_name", " ").alias("l"))
+    e = p.select("p_partkey", F.posexplode("l").alias("pos", "word"))
+    return e.groupBy("p_partkey").agg(
         F.array_join(
-            F.transform(F.array_sort(F.collect_list("o_orderkey")),
-                        lambda x: x.cast("string")), ",").alias("order_keys"),
-        F.count("*").alias("n_orders"),
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                        lambda x: x["word"]), " ").alias("rebuilt"),
+        F.count("*").alias("n_words"),
+        F.max("pos").cast("long").alias("last_pos"),
     )
 
 
@@ -135,28 +140,63 @@ def a_session_merge(spark, sf_dir):
      AND b.value < a.value + 5.0
     """,
 )
-def j_interval_overlap(spark, sf_dir):
+def j_interval_overlap(spark, sf_dir,
+                       broadcast_max_rows: int | None = None):
     """J3: interval/theta join (citation char-range overlap,
     train/preprocess.py:170-177) — equi key + range predicates.
 
     The equi key (event_type) has a handful of distinct values, so hash-
     partitioning both sides on it would put each key's entire population in
     ONE partition pair — a skew wall at 100× scale. The `% 53` side is small
-    by construction, so it is broadcast: the big side streams map-side and
+    at driver scale, so it is broadcast: the big side streams map-side and
     the range predicates apply per-row (round-3 verdict nit #2; the pinned
     plan property asserts the BroadcastHashJoin + no exchange on the big
-    side). When NEITHER side is small, the scale-safe shape is value-banded
-    bucketing: join on (event_type, floor(value/5)) ± neighbor bucket, which
-    restores key cardinality ∝ value range."""
+    side). But the filtered side grows linearly (~1/53 of events), and an
+    explicit broadcast hint bypasses autoBroadcastJoinThreshold — at large
+    scale factors an unconditional hint trades the skew wall for a driver
+    OOM (round-4 advice). So the broadcast is GATED on a counted row bound
+    (one column-pruned scan of the filtered side — at 10^12 rows that count
+    is metadata-cheap next to the join it sizes), falling back to the
+    value-banded bucketing join: key = (event_type, floor(value/5)), the
+    small side exploded to ±1 neighbor bands so every |Δvalue| < 5 pair
+    co-locates — key cardinality ∝ value range, no giant hash side anywhere.
+    Both paths are value-identical (pinned in tests/test_relational.py)."""
     e = _t(spark, sf_dir, "events")
-    a = F.broadcast(e.where(F.col("event_id") % 53 == 0)).alias("a")
-    b = e.alias("b")
+    small = e.where(F.col("event_id") % 53 == 0)
+    cap = J_BROADCAST_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
+    if small.count() <= cap:
+        a = F.broadcast(small).alias("a")
+        b = e.alias("b")
+        return (
+            a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                   & (F.col("a.event_id") < F.col("b.event_id"))
+                   & (F.col("a.value") < F.col("b.value") + 5.0)
+                   & (F.col("b.value") < F.col("a.value") + 5.0))
+            .select(F.col("a.event_id").alias("id_a"),
+                    F.col("b.event_id").alias("id_b"))
+        )
+    # F.floor, never a long cast: cast truncates toward zero, so negative
+    # values would band off-by-one (the round-1 salted-page derivation bug).
+    # a explodes to {band-1, band, band+1}; b keeps its own band, so a pair
+    # within |Δvalue| < 5 (whose bands differ by at most 1) meets in exactly
+    # b's band — no duplicate candidates to dedup
+    a = small.select(
+        F.col("event_id").alias("id_a"), F.col("event_type").alias("et_a"),
+        F.col("value").alias("v_a"),
+        F.explode(F.array(F.floor(F.col("value") / 5.0) - 1,
+                          F.floor(F.col("value") / 5.0),
+                          F.floor(F.col("value") / 5.0) + 1)).alias("band"))
+    b = e.select(
+        F.col("event_id").alias("id_b"), F.col("event_type").alias("et_b"),
+        F.col("value").alias("v_b"),
+        F.floor(F.col("value") / 5.0).alias("band"))
     return (
-        a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
-               & (F.col("a.event_id") < F.col("b.event_id"))
-               & (F.col("a.value") < F.col("b.value") + 5.0)
-               & (F.col("b.value") < F.col("a.value") + 5.0))
-        .select(F.col("a.event_id").alias("id_a"), F.col("b.event_id").alias("id_b"))
+        a.join(b, ["band"])
+        .where((F.col("et_a") == F.col("et_b"))
+               & (F.col("id_a") < F.col("id_b"))
+               & (F.col("v_a") < F.col("v_b") + 5.0)
+               & (F.col("v_b") < F.col("v_a") + 5.0))
+        .select("id_a", "id_b")
     )
 
 

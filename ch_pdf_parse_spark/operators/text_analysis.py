@@ -54,36 +54,21 @@ def _stop_ratio_sql(lcol="l"):
             f" / greatest(len({lcol}), 1)")
 
 
-@register(
-    "text_lang_id",
-    f"""
-    SELECT doc_id, {_lang_sql("text")} AS lang_pred
-    FROM documents
-    """,
-)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID by character-class n-gram heuristic (CJK vs latin ratio)."""
+    """Language ID by character-class n-gram heuristic (CJK vs latin ratio).
+
+    Driver surface: folded into ``text_profile`` (round 5 — the driver's
+    correctness roster caps at 50 entries, so the five per-document text
+    scalars share one multi-column registration; the hash check still covers
+    every column)."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", _lang_expr("text").alias("lang_pred"))
 
 
-@register(
-    "text_quality_score",
-    f"""
-    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents)
-    SELECT doc_id,
-           length(text) AS n_chars2,
-           len(l) AS n_tokens,
-           CAST(CAST(CAST(CAST((length(text) * 1.0 / greatest(len(l), 1)) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS avg_tok_len,
-           CAST(CAST(CAST(CAST(({_stop_ratio_sql("l")}) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS stopword_ratio,
-           CAST(CAST(CAST(CAST((len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0
-                 / greatest(length(text), 1)) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS punct_ratio
-    FROM t
-    """,
-)
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality signals: length, token count, mean token length, stopword and
-    punctuation ratios (the usual pre-training quality filters)."""
+    punctuation ratios (the usual pre-training quality filters). Driver
+    surface: folded into ``text_profile`` (see text_lang_id)."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", F.split("text", " ").alias("l"))
     ntok = F.greatest(F.size("l"), F.lit(1))
@@ -100,17 +85,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_token_count",
-    f"""
-    SELECT doc_id,
-           len(string_split(text, ' ')) AS ws_tokens,
-           len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_tokens
-    FROM documents
-    """,
-)
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + a BPE-ish regex tokenizer."""
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer. Driver
+    surface: folded into ``text_profile`` (see text_lang_id)."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -119,28 +96,10 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_fingerprint",
-    """
-    WITH sh AS (
-      SELECT DISTINCT doc_id,
-             unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
-                     for i in range(1, greatest(len(l) - 1, 1))]) AS shingle
-      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
-    )
-    SELECT d.doc_id,
-           md5(d.text) AS content_hash,
-           m.fp_min
-    FROM documents d
-    LEFT JOIN (SELECT doc_id,
-                      min(CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)) AS fp_min
-               FROM sh GROUP BY doc_id) m
-      ON m.doc_id = d.doc_id
-    """,
-)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: exact content hash + bottom-1 shingle sketch
-    (the building block of winnowing/rolling-hash fingerprints)."""
+    (the building block of winnowing/rolling-hash fingerprints). Driver
+    surface: folded into ``text_profile`` (see text_lang_id)."""
     from .dedup import shingles
 
     d = _t(spark, sf_dir, "documents")
@@ -217,36 +176,20 @@ _BP_DUCK = ("contains(x, '|') OR starts_with(x, 'Copyright') "
             "OR length(x) < 20")
 
 
-@register(
-    "text_main_content",
-    f"""
-    WITH page AS (
-      SELECT doc_id,
-             concat_ws(chr(10),
+# injected page chrome, one definition per engine (text_main_content and the
+# consolidated text_profile share it). '||' not concat() for the footer:
+# DuckDB concat() skips NULL args, Spark's propagates — on NULL doc_id the
+# line must vanish on BOTH engines (concat_ws skips the NULL element
+# identically).
+_HTML_DUCK = """concat_ws(chr(10),
                'Home | About | Login | Search',
                'Advertisement',
                text,
                'Related articles | More from this site',
-               -- '||', not concat(): DuckDB concat() skips NULL args, Spark's
-               -- propagates — on NULL doc_id the line must vanish on BOTH
-               -- engines (concat_ws skips the NULL element identically)
                ('Copyright 2026 site ' || (doc_id % 10) ||
-                '. All rights reserved.')) AS html
-      FROM documents),
-    lines AS (SELECT doc_id, string_split(html, chr(10)) AS l FROM page),
-    kept AS (SELECT doc_id,
-                    list_filter(l, x -> NOT ({_BP_DUCK})) AS keep,
-                    len(l) AS n_lines
-             FROM lines)
-    SELECT doc_id,
-           -- COALESCE: duckdb's array_to_string([]) is NULL, Spark's
-           -- array_join([]) is '' (tools/adversarial_gate.py)
-           COALESCE(array_to_string(keep, chr(10)), '') AS main_content,
-           len(keep) AS n_kept,
-           n_lines - len(keep) AS n_dropped
-    FROM kept
-    """,
-)
+                '. All rights reserved.'))"""
+
+
 def text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Main-content extraction / boilerplate strip (north_rule: 'HTML
     boilerplate strip ... DOM heuristics'): deterministic nav/ad/footer
@@ -284,6 +227,96 @@ def text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(keep).cast("long").alias("n_kept"),
         (F.size("l") - F.size(keep)).cast("long").alias("n_dropped"),
     )
+
+
+@register(
+    "text_profile",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split(text, ' ') AS l,
+             string_split({_HTML_DUCK}, chr(10)) AS hl
+      FROM documents),
+    k AS (SELECT *, list_filter(hl, x -> NOT ({_BP_DUCK})) AS keep FROM t),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                     for i in range(1, greatest(len(l) - 1, 1))]) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+    m AS (SELECT doc_id,
+                 min(CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)) AS fp_min
+          FROM sh GROUP BY doc_id)
+    SELECT k.doc_id,
+           {_lang_sql("k.text")} AS lang_pred,
+           length(k.text) AS n_chars2,
+           len(l) AS n_tokens,
+           CAST(CAST(CAST(CAST((length(k.text) * 1.0 / greatest(len(l), 1)) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS avg_tok_len,
+           CAST(CAST(CAST(CAST(({_stop_ratio_sql("l")}) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS stopword_ratio,
+           CAST(CAST(CAST(CAST((len(regexp_extract_all(k.text, '[^A-Za-z0-9 ]')) * 1.0
+                 / greatest(length(k.text), 1)) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS punct_ratio,
+           len(regexp_extract_all(k.text, '{_BPE_RE}')) AS bpe_tokens,
+           md5(k.text) AS content_hash,
+           m.fp_min,
+           -- COALESCE: duckdb's array_to_string([]) is NULL, Spark's
+           -- array_join([]) is '' (tools/adversarial_gate.py)
+           COALESCE(array_to_string(keep, chr(10)), '') AS main_content,
+           len(keep) AS n_kept,
+           len(hl) - len(keep) AS n_dropped
+    FROM k LEFT JOIN m ON m.doc_id = k.doc_id
+    """,
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated per-document text profile: language ID, quality signals,
+    token counts, content fingerprint, and main-content boilerplate strip —
+    one multi-column registration (round 5: the driver's correctness roster
+    caps at 50 entries; the standalone builders above keep their own
+    functions for pytest/plan pins, and every column here reuses exactly the
+    same engine-pinned expressions, so the single hash check covers all five
+    operators).
+
+    Scale notes: everything except the fingerprint is a per-row column
+    expression (zero exchanges); the bottom-1 shingle sketch adds one
+    map-side-combined groupBy on doc_id plus a doc_id-partitioned join —
+    the same shape text_fingerprint carried alone."""
+    from .dedup import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat_ws(
+        "\n",
+        F.lit("Home | About | Login | Search"),
+        F.lit("Advertisement"),
+        F.col("text"),
+        F.lit("Related articles | More from this site"),
+        F.concat(F.lit("Copyright 2026 site "), F.col("doc_id") % 10,
+                 F.lit(". All rights reserved.")),
+    )
+    base = d.select("doc_id", "text", F.split("text", " ").alias("l"),
+                    F.split(html, "\n").alias("hl"))
+    keep = F.expr(f"filter(hl, line -> NOT ({_BP_SPARK}))")
+    ntok = F.greatest(F.size("l"), F.lit(1))
+    prof = base.select(
+        "doc_id",
+        _lang_expr("text").alias("lang_pred"),
+        F.length("text").alias("n_chars2"),
+        F.size("l").alias("n_tokens"),
+        quantize(F.length("text") * 1.0 / ntok, 4).alias("avg_tok_len"),
+        quantize(_stop_ratio_expr("l"), 4).alias("stopword_ratio"),
+        quantize(
+            F.size(F.expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)")) * 1.0
+            / F.greatest(F.length("text"), F.lit(1)), 4,
+        ).alias("punct_ratio"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")).alias("bpe_tokens"),
+        F.md5("text").alias("content_hash"),
+        F.array_join(keep, "\n").alias("main_content"),
+        F.size(keep).cast("long").alias("n_kept"),
+        (F.size("hl") - F.size(keep)).cast("long").alias("n_dropped"),
+    )
+    fp = shingles(d.select("doc_id", "text")).groupBy("doc_id").agg(
+        F.min(portable_hash(F.col("shingle"))).alias("fp_min"))
+    return prof.join(fp, "doc_id", "left").select(
+        "doc_id", "lang_pred", "n_chars2", "n_tokens", "avg_tok_len",
+        "stopword_ratio", "punct_ratio", "bpe_tokens", "content_hash",
+        "fp_min", "main_content", "n_kept", "n_dropped")
 
 
 # ---- Gopher-style repetition metrics (round-3 verdict item #7) ------------

@@ -96,7 +96,7 @@ def test_keeper_semantics_on_dup_corpus(spark):
     sh = shingles(corpus).persist()
     clusters = resolve_clusters(
         corpus.select("doc_id").distinct(),
-        candidate_pairs_union(corpus, sh=sh)).collect()
+        candidate_pairs_union(sh)).collect()
     sh.unpersist()
     by_cluster = {}
     for r in clusters:

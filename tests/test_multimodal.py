@@ -47,3 +47,39 @@ def test_phash_dedup_groups_and_keepers(spark):
     ref = next(r.keeper_ref for r in rows)
     w, h, _nf, payload = media_meta_py(ref)
     assert dhash64_py(_decode_image(payload, w, h)) in {x.phash for x in rows}
+
+
+def test_phash_neardup_pairs_and_hamming(spark):
+    """Every injected 2-bit variant must pair with its source through the
+    chunk bands, every reported hamming must equal the true 64-bit popcount
+    (python twin), and no pair may exceed the cap."""
+    from ch_pdf_parse_spark.operators.multimodal import (
+        NEARDUP_MAX_HAMMING, multimodal_phash_dedup, multimodal_phash_neardup)
+
+    sf = "/root/testdata/sf0.001"
+    hashes = {r.phash for r in
+              multimodal_phash_dedup(spark, sf).select("phash").collect()}
+    pairs = multimodal_phash_neardup(spark, sf).collect()
+    assert pairs
+
+    def ham(a: str, b: str) -> int:
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    got = {(r.phash_a, r.phash_b): r.hamming for r in pairs}
+    for (a, b), h in got.items():
+        assert a < b
+        assert h == ham(a, b) <= NEARDUP_MAX_HAMMING
+
+    # python twin of the variant injection: xor bit 3 of chunk 0 and bit 12
+    # of chunk 2 (hamming 2, bands 1 and 3 untouched)
+    def variant(ph: str) -> str:
+        c0 = format(int(ph[0:4], 16) ^ 8, "04x")
+        c2 = format(int(ph[8:12], 16) ^ 4096, "04x")
+        return c0 + ph[4:8] + c2 + ph[12:16]
+
+    expected = {tuple(sorted((ph, variant(ph))))
+                for ph in hashes if ph[15] in "0123"}
+    assert expected, "the deterministic 1/4 predicate must select some hashes"
+    assert expected <= set(got), "every injected variant must be recovered"
+    for a, b in expected:
+        assert got[(a, b)] == 2

@@ -144,6 +144,23 @@ def test_interval_join_broadcasts_filtered_side(spark):
     assert not re.search(r"Exchange hashpartitioning\(event_type", plan), plan
 
 
+def test_interval_join_banded_fallback_matches_broadcast(spark):
+    """r5 (round-4 advice): the broadcast hint is gated on a counted row
+    bound; above it the query falls back to the value-banded bucketing join.
+    Both paths must be value-identical, and the fallback must not
+    hash-partition on the skewed event_type key."""
+    from ch_pdf_parse_spark.operators.relational_ops import j_interval_overlap
+
+    sf = "/root/testdata/sf0.001"
+    bc = sorted(map(tuple, j_interval_overlap(spark, sf).collect()))
+    banded_df = j_interval_overlap(spark, sf, broadcast_max_rows=0)
+    banded = sorted(map(tuple, banded_df.collect()))
+    assert bc == banded
+    assert len(bc) > 0
+    plan = _formatted(banded_df)
+    assert not re.search(r"Exchange hashpartitioning\(event_type", plan), plan
+
+
 def test_text_repetition_is_map_only(spark):
     """The Gopher repetition metrics are per-row higher-order expressions —
     zero exchanges at any corpus size."""

@@ -18,14 +18,20 @@ def test_queries_enumerable_without_session():
     # flagship + §2.12 coverage spot checks
     for key in ("extract_spans", "extract_spans_relational", "extract_markdown",
                 "dedup_minhash_lsh", "sim_ann_lsh", "j_positional_join",
-                "a_group_concat_empty_sep", "text_fingerprint"):
+                "a_group_concat_empty_sep", "text_profile",
+                "quality_metrics", "multimodal_phash_neardup"):
         assert key in qs, key
     # non-SQL-expressible ops are the only ones allowed to omit an oracle
     rows_only = set(qs) - set(sqls)
     assert rows_only <= {
         "extract_spans", "extract_spans_relational", "extract_markdown",
         "m4_citations", "multimodal_features", "multimodal_frame_sample",
+        "multimodal_phash_neardup",
     }
+    # the driver's correctness roster covers the first 50 registered queries
+    # (round-4 verdict #1: entries 51+ silently got no row) — the registry
+    # must stay at or under the cap so EVERY query gets a driver row
+    assert len(qs) <= 50, f"{len(qs)} queries registered; driver roster caps at 50"
 
 
 def test_entry_module_exposes_driver_contract():

@@ -148,8 +148,12 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
         "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p)
     add("dedup_minhash_lsh", "bounded exchanges", n_ex <= 8, f"{n_ex} exchanges")
 
-    # --- boilerplate strip: per-row higher-order filter (r3 rewrite) ------
-    p = formatted_plan(q["text_main_content"](spark, sf_dir))
+    # --- boilerplate strip: per-row higher-order filter (r3 rewrite; since
+    # r5 the driver query is the consolidated text_profile — the standalone
+    # builder keeps the zero-shuffle property worth pinning) ----------------
+    from ch_pdf_parse_spark.operators.text_analysis import text_main_content
+
+    p = formatted_plan(text_main_content(spark, sf_dir))
     plans["text_main_content"] = p
     n_ex = len(re.findall(r"\(\d+\) Exchange", p))
     add("text_main_content", "zero Exchange (per-row line filter, r3)",
@@ -160,6 +164,20 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
     # "no shuffle", asserted above, plus codegen presence up to the HOF)
     add("text_main_content", "codegen spans the scan/split stage",
         "codegen id" in p)
+
+    # --- consolidated text profile (r5): everything per-row except the
+    # bottom-1 shingle sketch, which adds one map-side-combined groupBy and
+    # one doc_id join — so exchanges stay bounded and hash-based -----------
+    p = formatted_plan(q["text_profile"](spark, sf_dir))
+    plans["text_profile"] = p
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    add("text_profile", "bounded exchanges (fingerprint agg + join only)",
+        n_ex <= 4, f"{n_ex} exchanges")
+    add("text_profile", "fingerprint join is hash-based (no NLJ)",
+        "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        or "BroadcastHashJoin" in p)
+    add("text_profile", "partial aggregation on the shingle sketch",
+        "partial" in p.lower() or "HashAggregate" in p)
 
     # --- similarity: broadcast direction + bucketed candidates (round 2) --
     p = formatted_plan(q["sim_topk_bruteforce"](spark, sf_dir))
