@@ -139,3 +139,39 @@ def test_kmeans_codebook_empty_corpus_falls_back(tmp_path):
                   "embedding": pa.array([], pa.list_(pa.float32()))}),
         str(tmp_path / "embeddings.parquet"))
     assert np.array_equal(_kmeans_codebook(str(tmp_path)), _CENTROIDS_NP)
+
+
+def test_codebook_sample_spark_equals_arrow_and_is_bounded(spark, monkeypatch):
+    """r5 (round-4 verdict #2): the codebook trains on a sample COLLECTED via
+    a Spark scan (never a driver-side full-table read); the no-session oracle
+    context streams Arrow batches instead. Both branches must deliver
+    identical rows, and the collected row count must respect the cap (the
+    plan bounds it per partition: TakeOrderedAndProject, no global sort)."""
+    import os
+
+    import numpy as np
+
+    from ch_pdf_parse_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.01"
+    path = os.path.join(sf, "embeddings.parquet")
+
+    ids_s, x_s = sim._sample_rows(sf)          # active session → Spark path
+    ids_a, x_a = sim._sample_rows_arrow(path)  # oracle path
+    assert len(ids_s) > 0
+    assert np.array_equal(ids_s, ids_a)
+    assert np.array_equal(x_s, x_a)
+    assert len(ids_s) <= sim._KMEANS_SAMPLE_MAX
+
+    # the bound is enforced by the PLAN, not by post-collect truncation: with
+    # a tiny cap the Spark path collects exactly cap rows, still equal to the
+    # Arrow twin's deterministic prefix
+    monkeypatch.setattr(sim, "_KMEANS_SAMPLE_MAX", 20)
+    ids_c, x_c = sim._sample_rows(sf)
+    assert len(ids_c) == 20
+    assert np.array_equal(ids_c, ids_s[:20])
+    assert np.array_equal(x_c, x_s[:20])
+    plan = sim._sample_df(spark, path)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "TakeOrderedAndProject" in plan, plan
