@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..registry import SQL, register, _t
 from .dedup import (
     DUP_CORPUS_SQL,
+    portable_hash,
     _jaccard_sql,
     _minhash_sql,
     _simhash_sql,
@@ -209,7 +210,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_keeper), keeper = min doc_id per connected component."""
     corpus = with_dup_corpus(_t(spark, sf_dir, "documents"))
     nodes = corpus.select("doc_id").distinct()
-    sh = shingles(corpus).persist()
+    # persist the shared shingle table WITH its unsalted portable hash: the
+    # simhash detector consumes the column instead of re-running md5 over
+    # every cached shingle (r4 verdict #6; minhash/jaccard prune it — their
+    # salted hashes / string join keys can't reuse it). Measured attribution
+    # (tools/bench_detectors.py, sf0.1, interleaved): the three detectors
+    # cost ~2.8-3.2 s EACH from the shared cache; the shared-hash delta is
+    # within noise (min 2.051 vs 2.029 s) because simhash's wall is its
+    # 60-bit-sum aggregation, not the md5 pass — kept as the principled
+    # hash-once shape, recorded as a null result, no win claimed.
+    sh = (shingles(corpus)
+          .withColumn("h", portable_hash(F.col("shingle"))).persist())
     out = resolve_clusters(nodes, candidate_pairs_union(sh))
     # safe: resolve_clusters returns localCheckpoint-backed labels, which no
     # longer reference the shingle subtree
@@ -229,7 +240,8 @@ def pipeline_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     component loop or any exchange wider than (id, count)."""
     corpus = with_dup_corpus(_t(spark, sf_dir, "documents"))
     nodes = corpus.select("doc_id").distinct()
-    sh = shingles(corpus).persist()
+    sh = (shingles(corpus)  # + hash column, as in dedup_clusters
+          .withColumn("h", portable_hash(F.col("shingle"))).persist())
     clusters = resolve_clusters(nodes, candidate_pairs_union(sh))
     sh.unpersist()
     tokens = corpus.select(

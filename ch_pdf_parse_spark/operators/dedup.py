@@ -227,8 +227,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash(sh: DataFrame) -> DataFrame:
     """60-bit SimHash over shingle hashes (bit j set iff majority of shingles
-    have bit j set). Pure aggregation — map-side partials, one shuffle."""
-    h = portable_hash(F.col("shingle")).alias("h")
+    have bit j set). Pure aggregation — map-side partials, one shuffle.
+
+    If ``sh`` already carries an ``h`` column (the unsalted portable hash) it
+    is consumed as-is instead of recomputing md5 per shingle — the
+    detector-union composition (operators/cluster.py) persists the shared
+    shingle table WITH the hash so the md5 pass over it runs once, not twice
+    (round-4 verdict #6; value-identical by construction — pinned in
+    tools/bench_detectors.py, which also measured the saving as within
+    noise at sf0.1: the aggregation, not the hash, dominates)."""
+    h = (F.col("h") if "h" in sh.columns
+         else portable_hash(F.col("shingle"))).alias("h")
     withbits = sh.select("doc_id", h)
     bit_sums = [
         F.sum(F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)).alias(f"s{j}")
@@ -244,20 +253,26 @@ def simhash(sh: DataFrame) -> DataFrame:
 
 
 def simhash_pairs(simdf: DataFrame, max_hamming: int = 10,
-                  bucket_cap: int = SIMHASH_BUCKET_CAP) -> DataFrame:
-    """Chunk-bucketed candidate join (4 × 15-bit chunks) + exact hamming
-    filter. The pigeonhole guarantee is hamming ≤ 3 ⇒ some chunk equal;
-    larger radii are best-effort recall, exactly like production SimHash
-    dedup.
+                  bucket_cap: int = SIMHASH_BUCKET_CAP,
+                  n_chunks: int = SIMHASH_CHUNKS) -> DataFrame:
+    """Chunk-bucketed candidate join (default 4 × 15-bit chunks) + exact
+    hamming filter. The pigeonhole guarantee is hamming ≤ n_chunks-1 ⇒ some
+    chunk equal; larger radii are best-effort recall, exactly like production
+    SimHash dedup. ``n_chunks`` is the scale knob (must divide SIMHASH_BITS):
+    fewer, wider chunks shrink the explode and candidate volume at the cost
+    of the pigeonhole radius — measured at the bench corpus in
+    tools/bench_detectors.py; the registered queries keep the default.
 
     Hot-bucket guard: buckets wider than ``bucket_cap`` are dropped before
     the self-join (window count partitions by the same key the join shuffles
     on, so the guard reuses the join's exchange — no extra shuffle). Bounded
     recall loss on pathological buckets beats a CAP²→width² quadratic join."""
+    w = SIMHASH_BITS // n_chunks
+    mask = (1 << w) - 1
     chunks = simdf.select(
         "doc_id", "simhash",
         F.posexplode(F.array(*[
-            F.expr(f"(simhash >> {15 * c}) & 32767") for c in range(SIMHASH_CHUNKS)
+            F.expr(f"(simhash >> {w * c}) & {mask}") for c in range(n_chunks)
         ])).alias("chunk", "ckey"),
     )
     wb = Window.partitionBy("chunk", "ckey")
