@@ -70,7 +70,8 @@ def test_golden_sql_covers_all_rows_only_queries(golden_dir):
     sqls = golden.golden_sql(TEST_SF, base=os.path.dirname(golden_dir))
     assert set(sqls) == {"extract_spans", "extract_spans_relational",
                         "extract_markdown", "multimodal_features",
-                        "multimodal_frame_sample", "multimodal_phash_dedup"}
+                        "multimodal_frame_sample", "multimodal_phash_dedup",
+                        "multimodal_phash_neardup"}
     con = duckdb.connect()
     for name, sql in sqls.items():
         assert con.execute(sql).fetch_arrow_table().num_rows > 0, name
