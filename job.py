@@ -46,6 +46,14 @@ def main() -> None:
                     help="skip the bucket-partitioned staging copy (use when "
                          "the input is already bucketed, e.g. an Iceberg "
                          "table with a bucket(doc_id, N) spec)")
+    ap.add_argument("--input-format", choices=("table", "wire"),
+                    default="table",
+                    help="'table' = parquet/Iceberg documents table; 'wire' "
+                         "= directory of packed binary .cpw shards "
+                         "(sources/wireformat.py) read via binaryFile and "
+                         "parsed per-record — the raw-bytes S1 lifecycle; "
+                         "corrupt records are dropped per-record and the "
+                         "per-shard drop count is reported")
     args = ap.parse_args()
 
     try:
@@ -62,7 +70,20 @@ def main() -> None:
 
     spark = get_spark("ch-pdf-parse-extract", cores=args.cores)
     t0 = time.time()
-    docs = read_table(spark, args.input)
+    wire_corrupt = None
+    if args.input_format == "wire":
+        from ch_pdf_parse_spark.sources.wireformat import (read_wire,
+                                                           wire_scan_stats)
+
+        docs = read_wire(spark, args.input)
+        # ingest audit: one cheap extra pass over the shards (stats-only
+        # projection) so a silently-dropped corrupt record is reported, with
+        # the exact shard to re-fetch, instead of vanishing from the output
+        bad = (wire_scan_stats(spark, args.input)
+               .where("n_corrupt > 0").collect())
+        wire_corrupt = {r["shard_path"]: r["n_corrupt"] for r in bad}
+    else:
+        docs = read_table(spark, args.input)
     # fail fast with a readable message BEFORE the staging copy: a wrong
     # table (e.g. a text corpus without spans) otherwise surfaces as an
     # unresolved-column plan dump after a full wasted input pass
@@ -102,11 +123,15 @@ def main() -> None:
                   .where("status = 'done'")
                   .agg({"doc_count": "sum"}).collect()[0][0]) or 0
     wall = time.time() - t0
-    print(json.dumps({
+    out = {
         "input": args.input, "output": args.output,
         "buckets_computed": len(computed), "docs": n_docs,
         "wall_sec": round(wall, 2), "docs_per_sec": round(n_docs / wall, 1),
-    }))
+    }
+    if wire_corrupt is not None:
+        out["wire_corrupt_records"] = sum(wire_corrupt.values())
+        out["wire_corrupt_shards"] = sorted(wire_corrupt)
+    print(json.dumps(out))
     spark.stop()
 
 
