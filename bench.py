@@ -127,6 +127,50 @@ def run_extraction(cores: int, corpus_path: str, relational: bool = False,
         spark.stop()
 
 
+def wire_shards_dir(corpus_path: str, n_shards: int = 96) -> str:
+    """Packed-binary twin of the bench corpus (sources/wireformat.py),
+    written Spark-parallel once and cached (bytes are a pure function of
+    (corpus, n_shards))."""
+    out = os.path.join(corpus_path, f"wire_{n_shards}")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        from ch_pdf_parse_spark.sources.wireformat import write_wire_shards
+
+        spark = get_spark("bench-wire-gen", cores=CPUS)
+        try:
+            docs = spark.read.parquet(
+                os.path.join(corpus_path, "documents.parquet"))
+            write_wire_shards(docs, out, n_shards=n_shards)
+        finally:
+            spark.stop()
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def run_extraction_wire(cores: int, corpus_path: str, runs: int = 2) -> float:
+    """Raw-bytes S1 lifecycle e2e: binaryFile scan → per-record parse →
+    extraction kernel. Same noop-write protocol as the parquet flagship."""
+    from ch_pdf_parse_spark.pipeline import extract_documents
+    from ch_pdf_parse_spark.sources.wireformat import read_wire
+
+    wire_dir = wire_shards_dir(corpus_path)
+    # one ~8 MB shard per task: binaryFile packs whole files into partitions
+    # up to maxPartitionBytes, and the default 128 MB would glue ~16 shards
+    # into one task and serialize the decode on a handful of cores
+    spark = get_spark(f"bench-wire-{cores}", cores=cores,
+                      shuffle_partitions=max(32, cores * 4),
+                      **{"spark.sql.files.maxPartitionBytes":
+                         str(8 * 1024 * 1024)})
+    try:
+        docs = read_wire(spark, wire_dir)
+        _run(extract_documents(docs.limit(2048)))  # warmup
+        return _best_stable(lambda: _run(extract_documents(docs)),
+                            runs_min=runs)
+    finally:
+        spark.stop()
+
+
 def main() -> None:
     scaling = "--scaling" in sys.argv
     sf = _sf_of(SF_DIR)
@@ -156,6 +200,13 @@ def main() -> None:
     queries["q_extract_relational_2k"] = round(
         run_extraction(CPUS, corpus_path, relational=True, runs=2,
                        doc_limit="doc_002000", shuffle_partitions=32), 3)
+
+    # raw wire-format lifecycle (round 5): packed binary shards → binaryFile
+    # → per-record parse → extraction; the decode is the honest per-doc
+    # ingest price a raw-PDF deployment pays before the kernel even runs
+    t_wire = run_extraction_wire(CPUS, corpus_path)
+    queries["q_extract_wire"] = round(t_wire, 3)
+    extras["wire_docs_per_sec"] = round(n_docs / t_wire, 1)
 
     spark = get_spark("bench-queries", cores=CPUS, shuffle_partitions=max(32, CPUS * 4))
     try:

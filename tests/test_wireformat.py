@@ -113,6 +113,19 @@ def test_truncated_shard_counted_not_fatal(tmp_path):
     assert corrupt >= 1
 
 
+def test_wire_decode_plan_zero_exchange(spark, wire_dir):
+    # scale contract: the decode is scan → MapInArrow, no shuffle — shard
+    # count alone sets the ingest parallelism, same as the flagship kernel
+    import re
+
+    df = wf.read_wire(spark, wire_dir)
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "MapInArrow" in plan
+    assert not re.search(r"\bExchange\b", plan), plan
+
+
 def test_crc_catches_payload_tamper():
     rec = wf.encode_record("x", [{"kind": "k", "text": "t",
                                   "media_ref": None, "offset": 5}])
