@@ -370,6 +370,15 @@ def _binary_scan(spark: SparkSession, path: str) -> DataFrame:
             .select("path", "content"))
 
 
+def parse_wire_binary(binary_df: DataFrame) -> DataFrame:
+    """(path, content) binary rows → parsed `documents` rows.
+
+    Works on any DataFrame with a ``content`` binary column — the batch
+    ``binaryFile`` scan, a streaming ``readStream.format("binaryFile")``
+    micro-batch, or shard bytes landed through any other source."""
+    return binary_df.mapInArrow(_parse_arrow, DOC_SCHEMA)
+
+
 def read_wire(spark: SparkSession, path: str) -> DataFrame:
     """``binaryFile`` scan → parsed `documents` rows (doc_id, spans, n_spans).
 
@@ -378,7 +387,7 @@ def read_wire(spark: SparkSession, path: str) -> DataFrame:
     Corrupt records are dropped per-record (see parse_shard); audit the drop
     count with ``wire_scan_stats`` — same scan, stats projection.
     """
-    return _binary_scan(spark, path).mapInArrow(_parse_arrow, DOC_SCHEMA)
+    return parse_wire_binary(_binary_scan(spark, path))
 
 
 def wire_scan_stats(spark: SparkSession, path: str) -> DataFrame:

@@ -43,6 +43,43 @@ def incremental_extract(
     )
 
 
+def incremental_extract_wire(
+    spark: SparkSession,
+    shard_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming twin of the raw-bytes S1 lifecycle: packed ``.cpw`` shards
+    landing in ``shard_dir`` (sources/wireformat.py) are decoded and
+    extracted exactly once per shard (availableNow drain; the checkpoint
+    remembers which shard FILES were consumed, so the per-record parse never
+    re-runs on old shards — at 10^12 docs re-listing is the only per-run
+    cost, and corrupt records still degrade per-record inside each shard)."""
+    from ..sources.wireformat import parse_wire_binary
+
+    # file streaming sources need an explicit schema; binaryFile's is fixed
+    stream = (spark.readStream.format("binaryFile")
+              .schema("path string, modificationTime timestamp, "
+                      "length long, content binary")
+              .option("pathGlobFilter", "*.cpw")
+              # shard drops land as subdirectories (date/batch partitioned
+              # in production); each drop keeps its own shard numbering
+              .option("recursiveFileLookup", "true").load(shard_dir)
+              .select("path", "content"))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        extract_documents(parse_wire_binary(batch_df)) \
+            .write.mode("append").parquet(output_dir)
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def windowed_event_stats(events_stream: DataFrame,
                          watermark: str = "10 minutes",
                          window: str = "1 hour") -> DataFrame:

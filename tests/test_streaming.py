@@ -44,6 +44,36 @@ def test_incremental_extract_exactly_once(spark, corpus_dir, tmp_path):
     shutil.rmtree(ckpt)
 
 
+def test_incremental_wire_extract_exactly_once(spark, corpus_dir, tmp_path):
+    """Streaming twin of the raw-bytes lifecycle: .cpw shard drops are
+    decoded + extracted exactly once (checkpoint tracks shard files)."""
+    from ch_pdf_parse_spark.sources.wireformat import write_wire_shards
+    from ch_pdf_parse_spark.streaming.incremental import incremental_extract_wire
+
+    src = str(tmp_path / "wire_incoming")
+    out = str(tmp_path / "wire_out")
+    ckpt = str(tmp_path / "wire_ckpt")
+
+    full = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
+    batch1 = full.where(F.col("doc_id") < "doc_000006")
+    batch2 = full.where(F.col("doc_id") >= "doc_000006")
+
+    write_wire_shards(batch1, os.path.join(src, "drop1"), n_shards=2)
+    incremental_extract_wire(spark, src, out, ckpt)
+    assert spark.read.parquet(out).count() == batch1.count()
+
+    write_wire_shards(batch2, os.path.join(src, "drop2"), n_shards=2)
+    incremental_extract_wire(spark, src, out, ckpt)
+    got = _collect(spark.read.parquet(out))
+    want = _collect(extract_documents(full))
+    assert got == want  # no doc missing, none decoded/extracted twice
+
+    incremental_extract_wire(spark, src, out, ckpt)  # nothing new: no-op
+    assert spark.read.parquet(out).count() == full.count()
+
+    shutil.rmtree(ckpt)
+
+
 def test_windowed_stats_match_batch(spark, tmp_path):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     src = str(tmp_path / "events_in")
