@@ -285,6 +285,40 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
     add("pipeline_training_corpus", "both aggs combine map-side (partial_*)",
         len(re.findall(r"partial_count|partial_sum|partial_min", p)) >= 2)
 
+    # --- r5: raw wire-format lifecycle is shuffle-free end-to-end ---------
+    # packed .cpw shards → binaryFile scan → MapInArrow parse → extraction
+    # kernel; shard count alone sets ingest parallelism (sources/wireformat.py)
+    import tempfile
+
+    from ch_pdf_parse_spark.pipeline import extract_documents
+    from ch_pdf_parse_spark.sources.wireformat import (read_wire,
+                                                       write_wire_shards)
+
+    from ch_pdf_parse_spark.registry import fixture_docs
+
+    wire_tmp = tempfile.mkdtemp(prefix="plan_audit_wire_")
+    docs = fixture_docs(spark, sf_dir).select("doc_id", "spans").limit(64)
+    write_wire_shards(docs, wire_tmp, n_shards=4)
+    p = formatted_plan(read_wire(spark, wire_tmp))
+    plans["wire_decode"] = p
+    add("wire_decode", "binaryFile scan → MapInArrow parse, zero Exchange "
+        "(shard count alone sets ingest parallelism)",
+        "MapInArrow" in p and not re.search(r"\bExchange\b", p))
+    # downstream extraction over parsed wire rows: the wire source must add
+    # ZERO exchanges vs the parquet-fed flagship (parse kernel chains onto
+    # the scan; both extraction branches unchanged)
+    p = formatted_plan(extract_documents(
+        read_wire(spark, wire_tmp).select("doc_id", "spans")))
+    plans["wire_ingest_extract"] = p
+    p_parquet = formatted_plan(extract_documents(
+        fixture_docs(spark, sf_dir).select("doc_id", "spans")))
+    n_wire = len(re.findall(r"\(\d+\) Exchange", p))
+    n_parq = len(re.findall(r"\(\d+\) Exchange", p_parquet))
+    add("wire_ingest_extract", "wire source adds zero exchanges vs the "
+        "parquet-fed flagship (parse chains onto the binary scan)",
+        p.count("MapInArrow") >= 2 and n_wire == n_parq,
+        f"{n_wire} exchanges (parquet path: {n_parq})")
+
     return checks, plans
 
 
