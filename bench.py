@@ -248,12 +248,24 @@ def main() -> None:
     # ANN quality next to ANN speed: recall@3 vs exact brute-force top-3
     # (DuckDB oracle kernel) for the two production ANN paths — a
     # correct-but-low-recall index would otherwise look "fast" here.
-    # duckdb imports OUTSIDE the try: if the import itself failed inside,
-    # evaluating `except (duckdb.Error, ...)` would raise NameError and break
-    # the one-JSON-line stdout contract this block protects (round-4 advice).
-    import duckdb
+    # duckdb imports OUTSIDE the main try (if the import failed inside,
+    # evaluating `except (duckdb.Error, ...)` would raise NameError) but
+    # inside its own guard: an unimportable duckdb must skip the telemetry,
+    # not crash the run after every query timing already succeeded — either
+    # way the one-JSON-line stdout contract survives (round-4/5 advice).
+    try:
+        import duckdb
+
+        _duck_errs: tuple = (duckdb.Error, OSError)
+    except ImportError as e:
+        print(f"warning: recall telemetry unavailable (no duckdb): {e!r}",
+              file=sys.stderr)
+        duckdb = None
+        _duck_errs = (OSError,)
 
     try:
+        if duckdb is None:
+            raise OSError("duckdb unavailable")
         from tools.ivf_recall import exact_topk, recall
 
         want = exact_topk(SF_DIR, 3)
@@ -287,9 +299,11 @@ def main() -> None:
             }
         finally:
             spark.stop()
-    except (duckdb.Error, OSError) as e:
+    except _duck_errs as e:
         # optional telemetry: a missing/unreadable embeddings table raises
-        # duckdb.IOException (a duckdb.Error, NOT OSError — verified MRO).
+        # duckdb.IOException (a duckdb.Error, NOT OSError — verified MRO);
+        # with duckdb absent the tuple degrades to (OSError,), which the
+        # sentinel raise above matches.
         print(f"warning: recall telemetry unavailable: {e!r}", file=sys.stderr)
     except Exception:  # noqa: BLE001
         # anything else (e.g. a transient Py4J/executor failure under this

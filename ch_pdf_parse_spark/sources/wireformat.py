@@ -43,10 +43,14 @@ Why this shape scales to 10^12 documents:
   identical shards (idempotent overwrite; tmp + atomic rename per file
   keeps retried/speculative tasks from publishing partial shards).
 * **Decode cost is the honest floor.** Parsing is per-record Python over raw
-  bytes inside ``mapInPandas`` — exactly the per-document decode any raw-PDF
-  ingest pays (the reference pays PyMuPDF per page); Spark-side batching is
-  per-shard, and everything downstream of the parse is the existing
-  zero-shuffle Arrow kernel. The parsed rows carry ``n_spans`` so the
+  bytes inside ``mapInArrow`` (the parser emits flat columns and builds the
+  Arrow batch directly — the pandas object-column variant measured ~2×
+  slower) — exactly the per-document decode any raw-PDF ingest pays (the
+  reference pays PyMuPDF per page); Spark-side batching is per-shard, and
+  everything downstream of the parse is the existing zero-shuffle Arrow
+  kernel. The per-shard audit (``wire_scan_stats``) is NOT a second decode:
+  it walks framing + CRC + structure only, skipping string materialization
+  (``scan_shard_stats``). The parsed rows carry ``n_spans`` so the
   oversized-doc salting route (pipeline.extract_documents) still sees its
   stored stats column.
 """
@@ -254,6 +258,89 @@ def _parse_shard_columnar(data: bytes) -> _Columns:
     return out
 
 
+def scan_shard_stats(data: bytes) -> tuple[int, int]:
+    """(n_records, n_corrupt) via framing + CRC + structure walk ONLY.
+
+    The audit twin of `_parse_shard_columnar`: identical record acceptance
+    (same framing, CRC, length/structure checks, resync, footer rules) but
+    string bytes are bounds-checked and SKIPPED, never decoded — so the
+    per-shard audit pass costs length arithmetic instead of materializing
+    every document's text a second time (the full decode is the wire path's
+    dominant cost; doubling it at 10^12 docs doubles ingest).
+
+    One deliberate divergence: a CRC-valid payload whose strings are invalid
+    UTF-8 counts as valid here but corrupt in the full parser. Unreachable
+    from bit corruption (the CRC covers the payload, and our encoder writes
+    only valid UTF-8) — it needs a buggy foreign encoder. The agreement is
+    property-pinned on hostile bytes in tests/test_wire_codec.py."""
+    n_records = corrupt = 0
+    if data[:4] != MAGIC:
+        return 0, 1
+    u32 = _U32.unpack_from
+    find = data.find
+    end = len(data)
+    i = 4
+    while i < end:
+        head = data[i:i + 4]
+        if head == FOOTER_MAGIC:
+            if corrupt == 0 and (
+                    end - i < 8 or u32(data, i + 4)[0] != n_records):
+                corrupt += 1
+            return n_records, corrupt
+        if head == SYNC and end - i >= 8:
+            try:
+                plen = u32(data, i + 4)[0]
+                p0 = i + 8
+                pend = p0 + plen
+                if pend + 4 > end:
+                    raise ValueError("bad record length")
+                if u32(data, pend)[0] != zlib.crc32(data[p0:pend]):
+                    raise ValueError("crc mismatch")
+                pos = p0
+                # doc_id
+                if pos + 4 > pend:
+                    raise ValueError("truncated")
+                n = u32(data, pos)[0]
+                pos += 4
+                if n != NULL32:
+                    if pos + n > pend:
+                        raise ValueError("bad string length")
+                    pos += n
+                if pos + 4 > pend:
+                    raise ValueError("truncated")
+                n_spans = u32(data, pos)[0]
+                pos += 4
+                if n_spans != NULL32:
+                    if n_spans > plen:  # a span is ≥15 bytes; sanity bound
+                        raise ValueError("bad span count")
+                    for _ in range(n_spans):
+                        for _f in range(3):  # kind, text, media_ref
+                            if pos + 4 > pend:
+                                raise ValueError("truncated")
+                            n = u32(data, pos)[0]
+                            pos += 4
+                            if n != NULL32:
+                                if pos + n > pend:
+                                    raise ValueError("bad string length")
+                                pos += n
+                        if pos + 5 > pend:
+                            raise ValueError("truncated")
+                        pos += 5
+                if pos != pend:
+                    raise ValueError("trailing bytes in payload")
+                n_records += 1
+                i = pend + 4
+                continue
+            except ValueError:
+                pass
+        corrupt += 1
+        nxt = find(SYNC, i + (4 if head == SYNC else 1))
+        if nxt < 0:
+            return n_records, corrupt
+        i = nxt
+    return n_records, corrupt + 1  # ran off the end without a footer
+
+
 def parse_shard(data: bytes) -> tuple[list[tuple[str | None, list | None]], int]:
     """Decode one shard → (records, n_corrupt) in row form (tests/tools).
 
@@ -291,13 +378,23 @@ def write_wire_shards(docs: DataFrame, out_dir: str, n_shards: int = 8) -> int:
 
     def _write(key, pdf):
         shard = int(key[0])
-        pdf = pdf.sort_values("doc_id", kind="mergesort", na_position="first")
-        data = encode_shard(
-            (None if pd.isna(d) else d,
-             # a NULL array column reaches pandas as None (or NaN on some
-             # Arrow paths) — both mean "spans is NULL", not "empty"
-             None if s is None or isinstance(s, float) else s)
-            for d, s in zip(pdf["doc_id"], pdf["spans"]))
+        # Deterministic bytes require a TOTAL order: doc_id alone is not one
+        # when ids repeat or are NULL (the corpus and the adversarial gate
+        # both carry such rows) — rows tied on doc_id would keep Spark
+        # arrival order, which varies with scan scheduling, breaking the
+        # "bytes are a pure function of (corpus, n_shards)" contract this
+        # writer documents. Tie-break on the encoded record bytes.
+        recs = []
+        for d, s in zip(pdf["doc_id"], pdf["spans"]):
+            d = None if pd.isna(d) else d
+            # a NULL array column reaches pandas as None (or NaN on some
+            # Arrow paths) — both mean "spans is NULL", not "empty"
+            s = None if s is None or isinstance(s, float) else s
+            recs.append((d is not None, d or "", encode_record(d, s)))
+        recs.sort()
+        # no _U32 here: a struct.Struct in the closure breaks cloudpickle
+        data = bytes(MAGIC + b"".join(r[2] for r in recs)
+                     + FOOTER_MAGIC + len(recs).to_bytes(4, "little"))
         path = os.path.join(out_dir, f"shard-{shard:05d}.cpw")
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -357,10 +454,10 @@ def _parse_arrow(it):
 def _stats_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         for path, content in zip(pdf["path"], pdf["content"]):
-            cols = _parse_shard_columnar(bytes(content))
+            n_records, n_corrupt = scan_shard_stats(bytes(content))
             yield pd.DataFrame({"shard_path": [path],
-                                "n_records": [len(cols.doc_ids)],
-                                "n_corrupt": [cols.corrupt],
+                                "n_records": [n_records],
+                                "n_corrupt": [n_corrupt],
                                 "n_bytes": [len(content)]})
 
 

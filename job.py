@@ -76,9 +76,11 @@ def main() -> None:
                                                            wire_scan_stats)
 
         docs = read_wire(spark, args.input)
-        # ingest audit: one cheap extra pass over the shards (stats-only
-        # projection) so a silently-dropped corrupt record is reported, with
-        # the exact shard to re-fetch, instead of vanishing from the output
+        # ingest audit: one extra pass over the shards, but framing+CRC walk
+        # only (scan_shard_stats — no string decode, so it does NOT double
+        # the ingest's dominant parse cost) so a silently-dropped corrupt
+        # record is reported, with the exact shard to re-fetch, instead of
+        # vanishing from the output
         bad = (wire_scan_stats(spark, args.input)
                .where("n_corrupt > 0").collect())
         wire_corrupt = {r["shard_path"]: r["n_corrupt"] for r in bad}

@@ -71,3 +71,31 @@ def test_corruption_never_raises_never_invents(docs, pos_seed, xor, width):
     # count field is advisory-only when corruption was already seen)
     if records != docs:
         assert corrupt >= 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(_docs,
+       st.integers(min_value=0, max_value=2**31),
+       st.integers(min_value=0, max_value=255),
+       st.integers(min_value=1, max_value=4))
+def test_stats_scan_agrees_with_full_parse(docs, pos_seed, xor, width):
+    """scan_shard_stats (framing+CRC walk, no string decode) must accept and
+    count exactly what the full parser does — on clean AND corrupted bytes.
+    (Known divergence, unreachable here: CRC-valid payloads carrying invalid
+    UTF-8, which only a foreign encoder could produce.)"""
+    data = bytearray(wf.encode_shard(docs))
+    records, corrupt = wf.parse_shard(bytes(data))
+    assert wf.scan_shard_stats(bytes(data)) == (len(records), corrupt)
+    if xor == 0:
+        xor = 0xFF
+    pos = pos_seed % max(1, len(data) - width)
+    for k in range(width):
+        data[pos + k] ^= xor
+    records, corrupt = wf.parse_shard(bytes(data))
+    got = wf.scan_shard_stats(bytes(data))
+    if got != (len(records), corrupt):
+        # the only permitted disagreement: the mutation produced a CRC-valid
+        # record whose strings no longer decode as UTF-8 — the stats scan
+        # counts it valid, the full parse counts it corrupt (documented)
+        assert got[0] >= len(records) and got[1] <= corrupt, (
+            got, len(records), corrupt)

@@ -4,7 +4,7 @@ parsed documents → extraction kernel, with per-record corruption degradation.
 Mirrors the reference's raw-bytes S1 source
 (/root/reference/predict/pdf2markdown.py:44-61) with a deterministic codec in
 place of the PDF decoder; the Spark plumbing (shard write, binary scan,
-mapInPandas parse, n_spans routing) is the real lifecycle under test.
+mapInArrow parse, n_spans routing) is the real lifecycle under test.
 """
 
 import os
@@ -54,6 +54,29 @@ def test_deterministic_bytes(spark, docs_df, tmp_path):
     a, b = str(tmp_path / "a"), str(tmp_path / "b")
     wf.write_wire_shards(docs_df, a, n_shards=3)
     wf.write_wire_shards(docs_df, b, n_shards=3)
+    names = sorted(os.listdir(a))
+    assert names == sorted(os.listdir(b))
+    for f in names:
+        assert open(os.path.join(a, f), "rb").read() == \
+            open(os.path.join(b, f), "rb").read()
+
+
+def test_deterministic_bytes_with_duplicate_and_null_ids(spark, docs_df,
+                                                         tmp_path):
+    """doc_id alone is not a total order: duplicate and NULL ids must not
+    let Spark arrival order (which varies with partitioning) leak into the
+    shard bytes — the writer tie-breaks on the encoded record bytes."""
+    from pyspark.sql import functions as F
+
+    dups = docs_df.limit(6).withColumn(
+        "doc_id", F.when(F.col("doc_id") < "doc_000003", "dup_id"))
+    hostile = docs_df.unionByName(dups)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    # different physical orders of the same rows
+    wf.write_wire_shards(hostile.repartition(7), a, n_shards=3)
+    wf.write_wire_shards(
+        hostile.repartition(2).sort(F.col("doc_id").desc_nulls_last()),
+        b, n_shards=3)
     names = sorted(os.listdir(a))
     assert names == sorted(os.listdir(b))
     for f in names:
