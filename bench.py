@@ -219,6 +219,10 @@ def main() -> None:
         from ch_pdf_parse_spark.operators.similarity import (
             sim_ann_ivf_kmeans, sim_topk_bruteforce)
 
+        # q_sim_ann_ivf_kmeans now times the registered DUAL-point query
+        # (nprobe 2 and 4 through one assignment/join/shuffle — round 5);
+        # recall telemetry below still sweeps single points for comparability.
+
         for name, fn in [("q_dedup_minhash", dedup_minhash_lsh),
                          ("q_dedup_clusters", dedup_clusters),
                          ("q_sim_topk", sim_topk_bruteforce),
@@ -272,14 +276,14 @@ def main() -> None:
         spark = get_spark("bench-recall", cores=CPUS, shuffle_partitions=32)
         try:
             from ch_pdf_parse_spark.operators.similarity import (
-                sim_ann_ivf_kmeans, sim_ann_lsh)
+                ivf_kmeans_point, sim_ann_lsh)
 
             extras["recall_at_3"] = {
-                "ivf_kmeans": recall(sim_ann_ivf_kmeans(spark, SF_DIR).collect(),
+                "ivf_kmeans": recall(ivf_kmeans_point(spark, SF_DIR).collect(),
                                      want),
                 # the nprobe knob's second operating point (2× cells probed)
                 "ivf_kmeans_np4": recall(
-                    sim_ann_ivf_kmeans(spark, SF_DIR, n_probe=4).collect(),
+                    ivf_kmeans_point(spark, SF_DIR, n_probe=4).collect(),
                     want),
                 "lsh": recall(sim_ann_lsh(spark, SF_DIR).collect(), want),
             }
@@ -292,9 +296,9 @@ def main() -> None:
             cwant = exact_topk(cdir, 3)
             extras["recall_at_3_clustered"] = {
                 "ivf_kmeans": recall(
-                    sim_ann_ivf_kmeans(spark, cdir).collect(), cwant),
+                    ivf_kmeans_point(spark, cdir).collect(), cwant),
                 "ivf_kmeans_np4": recall(
-                    sim_ann_ivf_kmeans(spark, cdir, n_probe=4).collect(),
+                    ivf_kmeans_point(spark, cdir, n_probe=4).collect(),
                     cwant),
             }
         finally:

@@ -1,0 +1,148 @@
+"""PII detection + redaction over the documents corpus.
+
+The one classic training-data-pipeline stage the engine did not yet expose
+as a driver query (round 5): before text reaches a training corpus, emails /
+phone numbers / IP addresses / national-id patterns must be found, counted
+(for filtering and reporting), and masked in place. The reference app never
+redacts (it extracts from published PDFs), so this is a beyond-reference
+operator in the same family as dedup/decontaminate — first-class, with a
+DuckDB oracle.
+
+Shape and scale story: pure per-row column expressions (regexp_extract_all
+for counts, chained regexp_replace for masking) — zero exchanges, whole-stage
+codegen, embarrassingly parallel at 10^12 rows. No UDF: Spark's JVM regex
+kernels run at scan speed and the masked text never shuffles.
+
+Cross-engine determinism: the corpus is synthetic word-salad with no organic
+PII, so deterministic PII is injected per doc_id on BOTH engines (the
+m4_citations / text_main_content injection pattern) and then detected and
+stripped back out — the oracle hash therefore checks real detection work.
+Patterns are ASCII-only character classes (no \\d, no \\w shorthands beyond
+[0-9]; no Unicode classes), the subset where Java regex and DuckDB's RE2
+agree exactly; DuckDB regexp_replace needs the explicit 'g' flag to match
+Spark's replace-all default. Injected fragments are gated by CASE WHEN
+doc_id % k = 0 with an ELSE '' — a NULL doc_id disables every fragment
+identically on both engines (NULL % k is NULL, CASE falls to ELSE) instead
+of NULL-propagating through concat, whose NULL handling differs between the
+engines.
+
+Masking order is pinned (email → phone → ip → ssn) and the replacement
+tokens contain no digits or '@', so earlier redactions can never create or
+destroy later matches; counts are computed on the pre-redaction body, where
+the injected classes never overlap by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register, _t
+
+# ASCII-only, Java-regex/RE2-identical patterns
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+IP_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+SSN_RE = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+# (pattern, mask) in pinned application order
+PII_RULES: list[tuple[str, str]] = [
+    (EMAIL_RE, "[EMAIL]"),
+    (PHONE_RE, "[PHONE]"),
+    (IP_RE, "[IP]"),
+    (SSN_RE, "[SSN]"),
+]
+
+
+def _inject_spark(d: DataFrame) -> DataFrame:
+    """documents → (doc_id, body) with deterministic per-doc PII appended."""
+    did = F.col("doc_id")
+
+    def frag(mod: int, *parts):
+        return F.when(did % mod == 0, F.concat(*parts)).otherwise(F.lit(""))
+
+    s = lambda x: x.cast("string")  # noqa: E731
+    body = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        frag(3, F.lit(" Contact user"), s(did % 100), F.lit("@mail"),
+             s(did % 7), F.lit(".example.com now.")),
+        frag(2, F.lit(" Served from 10."), s(did % 256), F.lit("."),
+             s(did % 100), F.lit("."), s(did % 50), F.lit(".")),
+        frag(5, F.lit(" Call +1-555-"),
+             F.lpad(s(did % 10000), 4, "0"),
+             F.lit(" or id "), s(did % 900 + 100), F.lit("-"),
+             s(did % 90 + 10), F.lit("-"), s(did % 9000 + 1000), F.lit(".")),
+    )
+    return d.select("doc_id", body.alias("body"))
+
+
+# textually-parallel DuckDB injection ('||' would NULL-propagate like Spark's
+# concat, but the CASE/ELSE '' gating makes propagation moot on both sides)
+_INJECT_DUCK = """
+    SELECT doc_id,
+           coalesce(text, '')
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' Contact user' || (doc_id % 100) || '@mail'
+                        || (doc_id % 7) || '.example.com now.'
+                   ELSE '' END
+           || CASE WHEN doc_id % 2 = 0
+                   THEN ' Served from 10.' || (doc_id % 256) || '.'
+                        || (doc_id % 100) || '.' || (doc_id % 50) || '.'
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' Call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                        || ' or id ' || (doc_id % 900 + 100) || '-'
+                        || (doc_id % 90 + 10) || '-'
+                        || (doc_id % 9000 + 1000) || '.'
+                   ELSE '' END AS body
+    FROM documents
+"""
+
+
+def scrub_pii(body: DataFrame) -> DataFrame:
+    """(doc_id, body) → counts per PII class + fully masked text."""
+    counts = [
+        F.size(F.regexp_extract_all("body", F.lit(pat), F.lit(0)))
+        .alias(f"n_{name}")
+        for pat, name in ((EMAIL_RE, "email"), (PHONE_RE, "phone"),
+                          (IP_RE, "ip"), (SSN_RE, "ssn"))
+    ]
+    clean = F.col("body")
+    for pat, mask in PII_RULES:
+        clean = F.regexp_replace(clean, F.lit(pat), F.lit(mask))
+    out = body.select("doc_id", *counts, clean.alias("clean_text"))
+    total = (F.col("n_email") + F.col("n_phone")
+             + F.col("n_ip") + F.col("n_ssn"))
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ip", "n_ssn",
+        total.alias("n_pii"), (total == 0).alias("pii_free"), "clean_text")
+
+
+@register(
+    "pipeline_pii_scrub",
+    f"""
+    WITH body AS ({_INJECT_DUCK}),
+         scrubbed AS (
+           SELECT doc_id,
+                  len(regexp_extract_all(body, '{EMAIL_RE}')) AS n_email,
+                  len(regexp_extract_all(body, '{PHONE_RE}')) AS n_phone,
+                  len(regexp_extract_all(body, '{IP_RE}')) AS n_ip,
+                  len(regexp_extract_all(body, '{SSN_RE}')) AS n_ssn,
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(body, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{PHONE_RE}', '[PHONE]', 'g'),
+                      '{IP_RE}', '[IP]', 'g'),
+                    '{SSN_RE}', '[SSN]', 'g') AS clean_text
+           FROM body)
+    SELECT doc_id, n_email, n_phone, n_ip, n_ssn,
+           (n_email + n_phone + n_ip + n_ssn) AS n_pii,
+           (n_email + n_phone + n_ip + n_ssn) = 0 AS pii_free,
+           clean_text
+    FROM scrubbed
+    """,
+)
+def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents: inject deterministic PII (module docstring),
+    then detect, count, and mask every class. Zero-exchange map plan."""
+    return scrub_pii(_inject_spark(_t(spark, sf_dir, "documents")))

@@ -643,7 +643,92 @@ def _ivf_plan(spark: SparkSession, sf_dir: str, centroids: np.ndarray,
     )
 
 
-def _ivf_kmeans_sql(sf_dir: str, n_probe: int = N_PROBE) -> str:
+def ivf_kmeans_point(spark: SparkSession, sf_dir: str,
+                     n_probe: int = N_PROBE) -> DataFrame:
+    """Single-operating-point IVF query over the sampled k-means codebook —
+    the plan bench.py times and tools/ivf_recall.py sweeps (the registered
+    driver query below unions two points and is not a recall-comparable
+    top-k per query)."""
+    return _ivf_plan(spark, sf_dir, _codebook(sf_dir), n_probe=n_probe)
+
+
+N_PROBE_HI = 4
+
+
+@register("sim_ann_ivf_kmeans", None)
+def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ann_ivf with a sampled k-means codebook instead of the
+    data-independent ±1 quantizer (round-2 verdict item #6): cells follow the
+    corpus density, making the recall claim honest on clustered data. Same
+    shape — one scalar cell equi-join, vectors assigned map-side; the oracle
+    is regenerated per corpus with the identical centroid literals
+    (registry.DYNAMIC_SQL).
+
+    ``n_probe`` is the recall/cost knob (round-3 verdict item #3): candidate
+    count ∝ n_probe/N_CELLS of the corpus, recall rises with it (measured
+    curves in BENCH/BASELINE.md). This single registration hash-verifies BOTH
+    operating points (nprobe=2 and nprobe=4, tagged by the ``nprobe``
+    column) — round 5 folded the former ``sim_ann_ivf_kmeans_np4`` entry in
+    here to free a roster slot under the driver's 50-query cap. The fold is
+    also the scale-correct plan: probes are assigned ONCE at the highest
+    nprobe (posexplode keeps each probed cell's rank), every candidate is
+    tagged with the probe rank that produced it (a corpus vector lives in
+    exactly one cell, so the tag is unique), and a candidate reached within
+    the top-``N_PROBE`` cells fans out to both operating points
+    (``explode([2, 4])``) before ONE window pass partitioned by (nprobe,
+    query_id) — one UDF assignment, one join, one shuffle for both points,
+    instead of running the pipeline twice. Cross-engine safety at nprobe=4
+    is pinned by the rank-4/5 cell-margin test (min gap 4.4e-6 across
+    testdata scales vs ~1e-13 float error)."""
+    from pyspark.sql import Window
+
+    centroids = _codebook(sf_dir)
+    half_norms = np.linalg.norm(centroids, axis=1) ** 2 / 2.0
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def top_cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        A = np.stack(v.to_numpy())
+        dots = A @ centroids.T - half_norms
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :N_PROBE_HI]
+        return pd.Series(list(order.astype(np.int32)))
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_D.format(v="embedding")).alias("v"))
+    corpus = e.withColumn("cells", top_cells(F.col("v"))).select(
+        "vec_id", "v", F.element_at("cells", 1).alias("cell"))
+    probes = (e.where(F.col("vec_id") % 97 == 0)
+              .withColumn("cells", top_cells(F.col("v")))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("v").alias("qv"),
+                      F.posexplode("cells").alias("pos", "cell")))
+    cand = (
+        probes.join(corpus.alias("c"),
+                    (F.col("c.cell") == probes["cell"])
+                    & (F.col("c.vec_id") != F.col("query_id")))
+        .select("query_id", F.col("c.vec_id").alias("neighbor_id"),
+                cosine(F.col("qv"), F.col("c.v")).alias("c"), "pos")
+    )
+    pts = cand.select(
+        "query_id", "neighbor_id", "c",
+        F.explode(
+            F.when(F.col("pos") < N_PROBE,
+                   F.array(F.lit(N_PROBE), F.lit(N_PROBE_HI)))
+            .otherwise(F.array(F.lit(N_PROBE_HI)))).alias("nprobe"))
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("c"), "neighbor_id")
+    return (
+        pts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= IVF_TOPK)
+        .select("query_id", "neighbor_id", "rank", "nprobe")
+    )
+
+
+def _ivf_kmeans_dual_sql(sf_dir: str) -> str:
+    """DuckDB twin of the dual-operating-point query: probe ranks from the
+    same ranked CTE (rk is 1-based; Spark's posexplode pos is 0-based, so
+    ``pos < N_PROBE`` ↔ ``rk <= N_PROBE``)."""
     C = _codebook(sf_dir)
     dots = ", ".join(
         f"({_duck_dot('v', '[' + ', '.join(repr(float(x)) for x in row) + ']::DOUBLE[]')}"
@@ -661,50 +746,27 @@ def _ivf_kmeans_sql(sf_dir: str, n_probe: int = N_PROBE) -> str:
                                      ORDER BY d DESC, cell) AS rk
            FROM dotted),
          corpus AS (SELECT vec_id, v, cell FROM ranked WHERE rk = 1),
-         probes AS (SELECT vec_id AS query_id, v AS qv, cell
-                    FROM ranked WHERE rk <= {n_probe} AND vec_id % 97 = 0),
+         probes AS (SELECT vec_id AS query_id, v AS qv, cell, rk
+                    FROM ranked
+                    WHERE rk <= {N_PROBE_HI} AND vec_id % 97 = 0),
          cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
-                         {_duck_cos('p.qv', 'c.v')} AS c
+                         {_duck_cos('p.qv', 'c.v')} AS c, p.rk
                   FROM probes p JOIN corpus c
                     ON c.cell = p.cell AND c.vec_id <> p.query_id),
-         out AS (SELECT query_id, neighbor_id,
-                        ROW_NUMBER() OVER (PARTITION BY query_id
+         pts AS (SELECT query_id, neighbor_id, c,
+                        unnest(CASE WHEN rk <= {N_PROBE}
+                                    THEN [{N_PROBE}, {N_PROBE_HI}]
+                                    ELSE [{N_PROBE_HI}] END) AS nprobe
+                 FROM cand),
+         out AS (SELECT query_id, neighbor_id, nprobe,
+                        ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
                                            ORDER BY c DESC, neighbor_id) AS rank
-                 FROM cand)
-    SELECT query_id, neighbor_id, rank FROM out WHERE rank <= {IVF_TOPK}
+                 FROM pts)
+    SELECT query_id, neighbor_id, rank, nprobe
+    FROM out WHERE rank <= {IVF_TOPK}
     """
-
-
-@register("sim_ann_ivf_kmeans", None)
-def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str,
-                       n_probe: int = N_PROBE) -> DataFrame:
-    """sim_ann_ivf with a sampled k-means codebook instead of the
-    data-independent ±1 quantizer (round-2 verdict item #6): cells follow the
-    corpus density, making the recall claim honest on clustered data. Same
-    plan — one scalar cell equi-join, vectors assigned map-side; the oracle
-    is regenerated per corpus with the identical centroid literals
-    (registry.DYNAMIC_SQL).
-
-    ``n_probe`` is the recall/cost knob (round-3 verdict item #3): candidate
-    count ∝ n_probe/N_CELLS of the corpus, recall rises with it (measured
-    curves in BENCH/BASELINE.md). Driver-verified at two operating points —
-    this entry (nprobe=2) and ``sim_ann_ivf_kmeans_np4``."""
-    return _ivf_plan(spark, sf_dir, _codebook(sf_dir), n_probe=n_probe)
-
-
-@register("sim_ann_ivf_kmeans_np4", None)
-def sim_ann_ivf_kmeans_np4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The nprobe=4 operating point of sim_ann_ivf_kmeans: 2× the probed
-    cells → ~2× candidates per query, higher recall, same plan shape. Both
-    points are hash-verified against the dynamic oracle so the recall/cost
-    trade is driver-checked, not just benched. Cross-engine safety at this
-    width is pinned by the rank-4/5 cell-margin test (min gap 4.4e-6 across
-    testdata scales vs ~1e-13 float error)."""
-    return _ivf_plan(spark, sf_dir, _codebook(sf_dir), n_probe=4)
 
 
 from ..registry import DYNAMIC_SQL  # noqa: E402
 
-DYNAMIC_SQL["sim_ann_ivf_kmeans"] = _ivf_kmeans_sql
-DYNAMIC_SQL["sim_ann_ivf_kmeans_np4"] = (
-    lambda sf_dir: _ivf_kmeans_sql(sf_dir, n_probe=4))
+DYNAMIC_SQL["sim_ann_ivf_kmeans"] = _ivf_kmeans_dual_sql

@@ -260,8 +260,9 @@ def generate(seed: int, out_dir: str) -> None:
         scores = emb.astype(np.float64) @ C.T - (C * C).sum(axis=1) / 2.0
         s = np.sort(scores, axis=1)[:, ::-1]
         # every rank boundary any registered IVF query consumes: ranks 1..2
-        # for assignment, through 4..5 for sim_ann_ivf_kmeans_np4's probe
-        # width (round-4 review: checking only 1/2 and 2/3 left the np4
+        # for assignment, through 4..5 for sim_ann_ivf_kmeans's nprobe=4
+        # operating point (folded from the former _np4 entry in round 5;
+        # round-4 review: checking only 1/2 and 2/3 left the nprobe=4
         # oracle comparison unguarded on gate corpora)
         gap = min((s[:, r] - s[:, r + 1]).min() for r in range(5))
         if gap > 1e-6:

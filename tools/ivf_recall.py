@@ -83,7 +83,7 @@ def clustered_corpus(n: int = 1200, n_clusters: int = 16, dim: int = 64,
 
 def main() -> int:
     from ch_pdf_parse_spark.operators.similarity import (
-        IVF_TOPK, sim_ann_ivf, sim_ann_ivf_kmeans, sim_ann_lsh)
+        IVF_TOPK, ivf_kmeans_point, sim_ann_ivf, sim_ann_lsh)
 
     if len(sys.argv) > 1 and sys.argv[1] == "--clustered":
         sf_dir = clustered_corpus()
@@ -93,7 +93,7 @@ def main() -> int:
     spark = get_spark("ivf-recall", shuffle_partitions=16)
     out = {"sf_dir": sf_dir, "k": IVF_TOPK, "n_queries": len(want)}
     for name, fn in (("ivf_pm1", sim_ann_ivf),
-                     ("ivf_kmeans", sim_ann_ivf_kmeans),
+                     ("ivf_kmeans", ivf_kmeans_point),
                      ("lsh", sim_ann_lsh)):
         out[f"recall@{IVF_TOPK}_{name}"] = recall(fn(spark, sf_dir).collect(),
                                                   want)

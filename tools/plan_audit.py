@@ -201,9 +201,12 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
 
     p = formatted_plan(q["sim_ann_ivf_kmeans"](spark, sf_dir))
     plans["sim_ann_ivf_kmeans"] = p
-    add("sim_ann_ivf_kmeans", "same cell equi-join plan as the ±1 codebook",
+    add("sim_ann_ivf_kmeans", "dual-point (nprobe 2+4) query keeps the cell "
+        "equi-join (no NLJ) and runs ONE join for both operating points",
         "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
-        and bool(re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p)))
+        and len(re.findall(
+            r"\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+            p)) == 1)
 
     # --- hot-bucket caps reuse the join exchange (r3) ---------------------
     p = formatted_plan(q["dedup_ngram_jaccard"](spark, sf_dir))
@@ -236,6 +239,13 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
     n_ex = len(re.findall(r"\(\d+\) Exchange", p))
     add("text_repetition", "zero Exchange (per-row higher-order exprs)",
         n_ex == 0, f"{n_ex} exchanges")
+
+    # --- r5: PII scrub is per-row (zero exchanges) -------------------------
+    p = formatted_plan(q["pipeline_pii_scrub"](spark, sf_dir))
+    plans["pipeline_pii_scrub"] = p
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    add("pipeline_pii_scrub", "zero Exchange (regex counts + chained "
+        "regexp_replace, pure projection)", n_ex == 0, f"{n_ex} exchanges")
 
     # --- r4: interval join broadcasts the filtered side -------------------
     p = formatted_plan(q["j_interval_overlap"](spark, sf_dir))
