@@ -229,6 +229,69 @@ def text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- DOM-heuristic main-content extraction (round 5) ----------------------
+#
+# north_rule names "DOM heuristics" alongside the line-level boilerplate
+# strip above. This is the tag-aware variant: documents are wrapped in a
+# deterministic synthetic DOM (head/script/nav/ad-div/article/aside/footer,
+# with the real text inside <article><p>), the DOM is tokenized into
+# (opening tag, immediate text) pairs by one regex pass, and only text under
+# content tags (<p>, <h1>) of at least _DOM_MIN_LEN chars survives — the
+# readability/jusText element-whitelist shape, as pure per-row column
+# expressions (zero exchanges; the regex and the higher-order zip/filter run
+# inside whole-stage codegen / RE2 identically). doc_id-derived fragments are
+# coalesce()d to '' so a NULL doc_id degrades the DOM, never NULLs it (the
+# engines' NULL-concat semantics differ; tools/adversarial_gate.py).
+_DOM_TAG_RE = "<(p|h1|article|nav|div|aside|footer|title|script)[^>]*>([^<]*)"
+_DOM_KEEP_SPARK = ("zip_with(dtags, dtexts, (t, x) -> "
+                   "CASE WHEN t IN ('p', 'h1') AND length(x) >= 3 "
+                   "THEN x END)")
+_DOM_KEEP_DUCK = ("list_transform(generate_series(1, len(dtags)), i -> "
+                  "CASE WHEN dtags[i] IN ('p', 'h1') "
+                  "AND length(dtexts[i]) >= 3 THEN dtexts[i] END)")
+
+_DOM_HTML_DUCK = """
+    '<html><head><title>Doc ' || coalesce((doc_id % 1000)::VARCHAR, '')
+    || '</title><script>var a=1;</script></head><body>'
+    || '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+    || '<div>Advertisement - buy now</div>'
+    || '<article><h1>Heading ' || coalesce((doc_id % 50)::VARCHAR, '')
+    || '</h1><p>' || coalesce(text, '') || '</p>'
+    || '<p>Second paragraph body ' || coalesce((doc_id % 17)::VARCHAR, '')
+    || '</p></article>'
+    || '<aside>Related links</aside>'
+    || '<footer>Copyright 2026 example.org</footer></body></html>'
+"""
+
+
+def _dom_html_spark() -> F.Column:
+    did = F.col("doc_id")
+
+    def s(x):
+        return F.coalesce(x.cast("string"), F.lit(""))
+
+    return F.concat(
+        F.lit('<html><head><title>Doc '), s(did % 1000),
+        F.lit('</title><script>var a=1;</script></head><body>'),
+        F.lit('<nav><a href="/">Home</a> <a href="/about">About</a></nav>'),
+        F.lit('<div>Advertisement - buy now</div>'),
+        F.lit('<article><h1>Heading '), s(did % 50),
+        F.lit('</h1><p>'), F.coalesce(F.col("text"), F.lit("")), F.lit('</p>'),
+        F.lit('<p>Second paragraph body '), s(did % 17),
+        F.lit('</p></article>'),
+        F.lit('<aside>Related links</aside>'),
+        F.lit('<footer>Copyright 2026 example.org</footer></body></html>'))
+
+
+def dom_main_content_cols(df: DataFrame) -> DataFrame:
+    """Append (dtags, dtexts) parse columns for a DataFrame that already has
+    ``dhtml``; callers project the kept-text/count outputs from them."""
+    return df.withColumns({
+        "dtags": F.regexp_extract_all("dhtml", F.lit(_DOM_TAG_RE), F.lit(1)),
+        "dtexts": F.regexp_extract_all("dhtml", F.lit(_DOM_TAG_RE), F.lit(2)),
+    })
+
+
 @register(
     "text_profile",
     f"""
@@ -237,7 +300,14 @@ def text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
              string_split(text, ' ') AS l,
              string_split({_HTML_DUCK}, chr(10)) AS hl
       FROM documents),
-    k AS (SELECT *, list_filter(hl, x -> NOT ({_BP_DUCK})) AS keep FROM t),
+    k0 AS (SELECT *, list_filter(hl, x -> NOT ({_BP_DUCK})) AS keep FROM t),
+    kd AS (SELECT *, {_DOM_HTML_DUCK} AS dhtml FROM k0),
+    kp AS (SELECT *,
+           regexp_extract_all(dhtml, '{_DOM_TAG_RE}', 1) AS dtags,
+           regexp_extract_all(dhtml, '{_DOM_TAG_RE}', 2) AS dtexts
+           FROM kd),
+    k AS (SELECT *, list_filter({_DOM_KEEP_DUCK}, x -> x IS NOT NULL) AS dkeep
+          FROM kp),
     sh AS (
       SELECT DISTINCT doc_id,
              unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
@@ -261,17 +331,22 @@ def text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- array_join([]) is '' (tools/adversarial_gate.py)
            COALESCE(array_to_string(keep, chr(10)), '') AS main_content,
            len(keep) AS n_kept,
-           len(hl) - len(keep) AS n_dropped
+           len(hl) - len(keep) AS n_dropped,
+           COALESCE(array_to_string(dkeep, ' '), '') AS dom_main_content,
+           len(dkeep) AS n_dom_kept,
+           len(dtags) - len(dkeep) AS n_dom_dropped
     FROM k LEFT JOIN m ON m.doc_id = k.doc_id
     """,
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated per-document text profile: language ID, quality signals,
-    token counts, content fingerprint, and main-content boilerplate strip —
-    one multi-column registration (round 5: the driver's correctness roster
-    caps at 50 entries; the standalone builders above keep their own
-    functions for pytest/plan pins, and every column here reuses exactly the
-    same engine-pinned expressions, so the single hash check covers all five
+    token counts, content fingerprint, main-content boilerplate strip, and
+    DOM-heuristic extraction (dom_main_content / n_dom_kept / n_dom_dropped:
+    the tag-aware whitelist variant — comment block above _DOM_TAG_RE) — one
+    multi-column registration (round 5: the driver's correctness roster caps
+    at 50 entries; the standalone builders above keep their own functions
+    for pytest/plan pins, and every column here reuses exactly the same
+    engine-pinned expressions, so the single hash check covers all six
     operators).
 
     Scale notes: everything except the fingerprint is a per-row column
@@ -290,9 +365,12 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("Copyright 2026 site "), F.col("doc_id") % 10,
                  F.lit(". All rights reserved.")),
     )
-    base = d.select("doc_id", "text", F.split("text", " ").alias("l"),
-                    F.split(html, "\n").alias("hl"))
+    base = dom_main_content_cols(
+        d.select("doc_id", "text", F.split("text", " ").alias("l"),
+                 F.split(html, "\n").alias("hl"))
+        .withColumn("dhtml", _dom_html_spark()))
     keep = F.expr(f"filter(hl, line -> NOT ({_BP_SPARK}))")
+    dkeep = F.expr(f"filter({_DOM_KEEP_SPARK}, e -> e IS NOT NULL)")
     ntok = F.greatest(F.size("l"), F.lit(1))
     prof = base.select(
         "doc_id",
@@ -310,13 +388,17 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(keep, "\n").alias("main_content"),
         F.size(keep).cast("long").alias("n_kept"),
         (F.size("hl") - F.size(keep)).cast("long").alias("n_dropped"),
+        F.array_join(dkeep, " ").alias("dom_main_content"),
+        F.size(dkeep).cast("long").alias("n_dom_kept"),
+        (F.size("dtags") - F.size(dkeep)).cast("long").alias("n_dom_dropped"),
     )
     fp = shingles(d.select("doc_id", "text")).groupBy("doc_id").agg(
         F.min(portable_hash(F.col("shingle"))).alias("fp_min"))
     return prof.join(fp, "doc_id", "left").select(
         "doc_id", "lang_pred", "n_chars2", "n_tokens", "avg_tok_len",
         "stopword_ratio", "punct_ratio", "bpe_tokens", "content_hash",
-        "fp_min", "main_content", "n_kept", "n_dropped")
+        "fp_min", "main_content", "n_kept", "n_dropped",
+        "dom_main_content", "n_dom_kept", "n_dom_dropped")
 
 
 # ---- Gopher-style repetition metrics (round-3 verdict item #7) ------------
