@@ -215,6 +215,7 @@ def main() -> None:
             dedup_minhash_lsh, pipeline_decontaminate)
         from ch_pdf_parse_spark.operators.mixing import (
             pipeline_pack_sequences, pipeline_source_mix)
+        from ch_pdf_parse_spark.operators.pii import pipeline_pii_scrub
         from ch_pdf_parse_spark.operators.relational_ops import agg_pricing_summary
         from ch_pdf_parse_spark.operators.similarity import (
             sim_ann_ivf_kmeans, sim_topk_bruteforce)
@@ -229,6 +230,7 @@ def main() -> None:
                          ("q_sim_ann_ivf_kmeans", sim_ann_ivf_kmeans),
                          ("q_agg_pricing", agg_pricing_summary),
                          ("q_decontaminate", pipeline_decontaminate),
+                         ("q_pii_scrub", pipeline_pii_scrub),
                          ("q_source_mix", pipeline_source_mix),
                          ("q_pack_sequences", pipeline_pack_sequences)]:
             # runs_min=2 (round-3 verdict nit #3): a single quiet sample must

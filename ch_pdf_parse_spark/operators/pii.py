@@ -98,6 +98,82 @@ _INJECT_DUCK = """
 """
 
 
+def mask_col(c: F.Column) -> F.Column:
+    """Chained regexp_replace over every PII rule, in pinned order."""
+    for pat, mask in PII_RULES:
+        c = F.regexp_replace(c, F.lit(pat), F.lit(mask))
+    return c
+
+
+def count_col(c: F.Column) -> F.Column:
+    """Total PII matches (all classes) in a string column."""
+    out = None
+    for pat, _ in PII_RULES:
+        n = F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        out = n if out is None else out + n
+    return out
+
+
+def mask_sql(expr: str) -> str:
+    """DuckDB twin of mask_col ('g' flag: match Spark's replace-all)."""
+    for pat, mask in PII_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{mask}', 'g')"
+    return expr
+
+
+def count_sql(expr: str) -> str:
+    """DuckDB twin of count_col (expr should be a plain column reference —
+    it is repeated once per rule)."""
+    return " + ".join(f"len(regexp_extract_all({expr}, '{pat}'))"
+                      for pat, _ in PII_RULES)
+
+
+def inject_textkeyed_spark(text_col: F.Column) -> F.Column:
+    """PII injection keyed on length(text) instead of doc_id — for
+    pipelines where injected EXACT-DUPLICATE copies of a document (which get
+    new doc_ids) must keep receiving identical PII, so that masking them
+    yields identical text and the downstream exact-dedup still collapses
+    them (pipeline_training_corpus). NULL text NULL-propagates like the
+    surrounding pipeline's concat stages."""
+    key = F.length(text_col)
+
+    def s(x):
+        return F.coalesce(x.cast("string"), F.lit(""))
+
+    def frag(mod: int, *parts):
+        return F.when(key % mod == 0, F.concat(*parts)).otherwise(F.lit(""))
+
+    return F.concat(
+        text_col,
+        frag(3, F.lit(" Contact user"), s(key % 100), F.lit("@mail"),
+             s(key % 7), F.lit(".example.com now.")),
+        frag(2, F.lit(" Served from 10."), s(key % 256), F.lit("."),
+             s(key % 100), F.lit("."), s(key % 50), F.lit(".")),
+        frag(5, F.lit(" Call +1-555-"), F.lpad(s(key % 10000), 4, "0"),
+             F.lit(" or id "), s(key % 900 + 100), F.lit("-"),
+             s(key % 90 + 10), F.lit("-"), s(key % 9000 + 1000), F.lit(".")),
+    )
+
+
+def inject_textkeyed_sql(expr: str) -> str:
+    """DuckDB twin of inject_textkeyed_spark over a text column reference."""
+    k = f"length({expr})"
+    return f"""{expr}
+        || CASE WHEN {k} % 3 = 0
+                THEN ' Contact user' || ({k} % 100) || '@mail'
+                     || ({k} % 7) || '.example.com now.'
+                ELSE '' END
+        || CASE WHEN {k} % 2 = 0
+                THEN ' Served from 10.' || ({k} % 256) || '.'
+                     || ({k} % 100) || '.' || ({k} % 50) || '.'
+                ELSE '' END
+        || CASE WHEN {k} % 5 = 0
+                THEN ' Call +1-555-' || lpad(({k} % 10000)::VARCHAR, 4, '0')
+                     || ' or id ' || ({k} % 900 + 100) || '-'
+                     || ({k} % 90 + 10) || '-' || ({k} % 9000 + 1000) || '.'
+                ELSE '' END"""
+
+
 def scrub_pii(body: DataFrame) -> DataFrame:
     """(doc_id, body) → counts per PII class + fully masked text."""
     counts = [
@@ -106,10 +182,8 @@ def scrub_pii(body: DataFrame) -> DataFrame:
         for pat, name in ((EMAIL_RE, "email"), (PHONE_RE, "phone"),
                           (IP_RE, "ip"), (SSN_RE, "ssn"))
     ]
-    clean = F.col("body")
-    for pat, mask in PII_RULES:
-        clean = F.regexp_replace(clean, F.lit(pat), F.lit(mask))
-    out = body.select("doc_id", *counts, clean.alias("clean_text"))
+    out = body.select("doc_id", *counts,
+                      mask_col(F.col("body")).alias("clean_text"))
     total = (F.col("n_email") + F.col("n_phone")
              + F.col("n_ip") + F.col("n_ssn"))
     return out.select(

@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .. import constants as C
 from ..registry import q_sql, quantize, register, _t
 from .dedup import portable_hash
+from .pii import (count_col, count_sql, inject_textkeyed_spark,
+                  inject_textkeyed_sql, mask_col, mask_sql)
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 _CJK = r"[\x{4e00}-\x{9fff}]"
@@ -539,14 +541,23 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT doc_id + 500000 AS doc_id, text FROM documents
       WHERE doc_id % 13 = 0),
-    corpus AS (
+    corpus1 AS (
       -- '||' (propagates NULL like Spark concat), never concat()
       SELECT doc_id,
              text || (CASE WHEN doc_id % 21 = 0
                            THEN repeat(' spam', 40) ELSE '' END) AS text
       FROM corpus0),
+    injected AS (
+      -- PII keyed on length(text), not doc_id: duplicate copies carry the
+      -- same text → same injected PII → masking keeps them byte-identical,
+      -- so the downstream exact-dedup still collapses them
+      SELECT doc_id, {inject_textkeyed_sql("text")} AS t FROM corpus1),
+    corpus AS (
+      SELECT doc_id, ({count_sql("t")}) AS n_pii,
+             {mask_sql("t")} AS text
+      FROM injected),
     scored AS (
-      SELECT doc_id, text,
+      SELECT doc_id, text, n_pii,
              len(string_split(text, ' ')) AS n_tokens,
              {_stop_ratio_sql("string_split(text, ' ')")} AS stop_ratio,
              {_lang_sql("text")} AS lang,
@@ -563,7 +574,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped AS (
       SELECT md5(text) AS h, min(doc_id) AS keep_id,
              count(*) AS n_copies,
-             min(n_tokens) AS n_tokens, min(lang) AS lang
+             min(n_tokens) AS n_tokens, min(lang) AS lang,
+             min(n_pii) AS n_pii
       FROM filtered GROUP BY md5(text))
     SELECT lang,
            count(*) AS n_docs,
@@ -571,6 +583,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- decimal128(38,0) → driver hash mismatch vs Spark's long
            CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dups_removed,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_pii) AS BIGINT) AS total_pii_masked,
            CAST(CAST(CAST(CAST((sum(n_tokens) * 1.0 / count(*)) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,2)) AS DOUBLE) AS avg_tokens
     FROM deduped GROUP BY lang
     """,
@@ -583,26 +596,41 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst plan: every step is a pure column expression, the only
     shuffles are the dedup groupBy(md5) and the final stats agg, and both
     aggregate map-side first (partial agg). At 100 TB the dedup groupBy
-    shuffles only (hash, doc_id, n_tokens, lang) — never the text.
+    shuffles only (hash, doc_id, n_tokens, lang, n_pii) — never the text.
 
     Round 4 adds the Gopher repetition stage to the filter (duplicate-line
     fraction < 0.3, top-2-gram share < 0.2 — Rae et al. 2021 §A1.1), with a
     deterministic spam injection (doc_id % 21) so the filter demonstrably
     removes documents on the synthetic corpus. The thresholds compare RAW
-    int-ratio doubles — exact on both engines, no quantize hop needed."""
+    int-ratio doubles — exact on both engines, no quantize hop needed.
+
+    Round 5 composes the PII scrub (operators/pii.py) in as a real pipeline
+    stage ahead of scoring: inject → count → mask, keyed on length(text) so
+    injected exact-duplicate copies stay byte-identical after masking and
+    the dedup invariant survives; `total_pii_masked` in the output proves
+    the stage ran on both engines."""
     base = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus0 = base.unionByName(
         base.where(F.col("doc_id") % 13 == 0)
         .select((F.col("doc_id") + 500000).alias("doc_id"), "text"))
-    corpus = corpus0.select(
+    corpus1 = corpus0.select(
         "doc_id",
         F.concat("text",
                  F.when(F.col("doc_id") % 21 == 0,
                         F.expr("repeat(' spam', 40)")).otherwise("")
                  ).alias("text"))
+    # PII scrub stage: inject deterministic PII keyed on length(text) —
+    # duplicate copies share text → share PII → masked copies stay
+    # byte-identical and the exact-dedup below still collapses them — then
+    # count (pre-mask) and mask. Pure per-row projections, zero exchanges.
+    injected = corpus1.select(
+        "doc_id", inject_textkeyed_spark(F.col("text")).alias("t"))
+    corpus = injected.select(
+        "doc_id", count_col(F.col("t")).alias("n_pii"),
+        mask_col(F.col("t")).alias("text"))
     _l = "split(text, ' ')"
     scored = corpus.select(
-        "doc_id", "text",
+        "doc_id", "text", "n_pii",
         F.size(F.split("text", " ")).alias("n_tokens"),
         _stop_ratio_expr(_l).alias("stop_ratio"),
         _lang_expr("text").alias("lang"),
@@ -622,13 +650,15 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_id"),
              F.count("*").alias("n_copies"),
              F.min("n_tokens").alias("n_tokens"),
-             F.min("lang").alias("lang"))
+             F.min("lang").alias("lang"),
+             F.min("n_pii").alias("n_pii"))
     )
     return (
         deduped.groupBy("lang")
         .agg(F.count("*").alias("n_docs"),
              (F.sum("n_copies") - F.count("*")).alias("n_dups_removed"),
              F.sum("n_tokens").alias("total_tokens"),
+             F.sum("n_pii").alias("total_pii_masked"),
              # NOT F.avg: Spark's Average over ints accumulates in double, so
              # round(avg) is partition-order-dependent (round-1 driver flake).
              # Exact long sum / exact long count = one deterministic division.

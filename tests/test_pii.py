@@ -76,3 +76,17 @@ def test_driver_query_masks_injected_pii(spark):
         F.col("clean_text").rlike("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}")
         | F.col("clean_text").contains("@")).count()
     assert leak == 0
+
+
+def test_training_corpus_dedup_survives_pii_stage(spark):
+    """Round-5 composition invariant: the PII inject→mask stage inside
+    pipeline_training_corpus is keyed on length(text), so injected
+    exact-duplicate copies receive identical PII and STILL collapse in the
+    exact dedup — and the stage demonstrably masked something."""
+    from ch_pdf_parse_spark.operators.text_analysis import (
+        pipeline_training_corpus)
+
+    rows = pipeline_training_corpus(spark, SF).collect()
+    assert rows
+    assert sum(r.n_dups_removed for r in rows) > 0, rows
+    assert sum(r.total_pii_masked for r in rows) > 0, rows

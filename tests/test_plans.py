@@ -81,6 +81,31 @@ def test_sim_ann_ivf_joins_on_cell(spark):
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan), plan
 
 
+def test_sim_ann_ivf_kmeans_dual_point_single_join(spark):
+    """The dual-operating-point registration (nprobe 2 and 4 in one result,
+    round 5) must serve BOTH points from ONE cell equi-join: probes are
+    assigned once at the higher nprobe and candidates fan out to the points
+    map-side (explode), so folding the former _np4 entry costs one plan, not
+    two."""
+    from ch_pdf_parse_spark.operators.similarity import sim_ann_ivf_kmeans
+
+    plan = _formatted(sim_ann_ivf_kmeans(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    n_joins = len(re.findall(
+        r"\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan))
+    assert n_joins == 1, plan
+
+
+def test_pii_scrub_zero_exchanges(spark):
+    """PII detect+mask is a pure per-row projection — the regex counts and
+    the chained regexp_replace must never introduce a shuffle."""
+    from ch_pdf_parse_spark.operators.pii import pipeline_pii_scrub
+
+    plan = _formatted(pipeline_pii_scrub(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan, plan
+
+
 def test_small_dim_join_broadcasts(spark, docs_df):
     dim = spark.createDataFrame(
         [(f"doc_{i:06d}", i % 3) for i in range(10)], ["doc_id", "bucket"])
