@@ -1,0 +1,148 @@
+"""As-of (temporal nearest-predecessor) join — the canonical operator Spark's
+DataFrame API lacks, built as a composition of existing ops (no UDF, no
+custom physical strategy).
+
+Semantics (event attribution, the classic web-analytics use): every
+`purchase` event is matched to the MOST RECENT `view` event of the same
+user at-or-before the purchase timestamp; purchases with no preceding view
+keep NULL reference columns (left-outer as-of).
+
+Why not a range join: the naive formulation
+``l JOIN r ON l.user = r.user AND r.ts <= l.ts`` explodes to O(|views per
+user| x |purchases per user|) pairs per key before the per-row max — a
+BroadcastNestedLoopJoin or a blown-up SortMergeJoin at web scale. The
+scalable shape is the UNION-MERGE as-of: tag both streams, union them, and
+run ONE window (partition by user, order by (ts, tag)) taking
+``last(ref, ignorenulls=True)`` over the unbounded-preceding frame. That is
+exactly the merge phase of a merge join, done by the window sort:
+
+* ONE Exchange (hash by user_id) and ZERO Join nodes in the plan
+  (pinned in tests/test_plans.py) — candidate count never exceeds input
+  row count, independent of per-key stream sizes;
+* per-partition cost is the window sort, O(n log n) rows-in-partition;
+* at 100 TB: shuffle volume = the two streams' key+payload columns only.
+  Skew (one hot user) is the window's known weakness — the production
+  mitigation is range-partitioning by (user_id, ts-bucket) and replicating
+  each bucket's last reference row into the next bucket (a map-side
+  boundary exchange), which keeps the same merge semantics; not needed at
+  driver scale and therefore not implemented here.
+
+Duplicate-reference resolution is folded INTO the merge order instead of a
+separate dedup shuffle: among `view` rows sharing (user_id, ts) the match
+must be deterministic cross-engine, so references sort by
+(ref_id ASC NULLS FIRST, ref_value ASC NULLS FIRST) and ``last()`` picks
+the maximum — the same keeper the oracle's QUALIFY row_number()
+(ORDER BY ... DESC NULLS LAST = 1) designates before its native ASOF JOIN.
+The oracle is DuckDB's built-in ASOF LEFT JOIN — an independent engine's
+independent implementation of the operator, not a SQL transliteration of
+this plan.
+
+Cross-engine contracts (adversarial-gate hardened, registry.py doctrine):
+NULL user_id / NULL ts rows are excluded from BOTH sides on BOTH engines
+(ordering and equi-matching on NULL keys have no portable definition —
+same contract as a_windowed_events' ts filter); `value` is canonicalized
+with ``+ 0.0`` so a -0.0/0.0 repr tie among duplicate references cannot
+make the keeper's emitted value partition-order-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..registry import register, _t
+
+_REF_T = "struct<ref_event_id:bigint,ref_value:double,ref_ts:timestamp>"
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str) -> DataFrame:
+    """Generic as-of join: for every `left` row, the latest `right` row with
+    ``right[ts] <= left[ts]`` within the same `on` key (ties at equal ts
+    include the right row). `left` must carry (on, ts, event_id); `right`
+    (on, ts, ref_event_id, ref_value). Returns left columns + the matched
+    reference columns (NULL when no predecessor exists). Callers must have
+    dropped NULL on/ts rows already."""
+    r = right.select(
+        on, ts, F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct(
+            F.col("ref_event_id"),
+            (F.col("ref_value") + F.lit(0.0)).alias("ref_value"),
+            F.col(ts).alias("ref_ts"),
+        ).alias("ref"),
+    )
+    l = left.select(
+        on, ts, F.lit(1).alias("tag"), "event_id",
+        F.lit(None).cast(_REF_T).alias("ref"),
+    )
+    # Merge order: time, then rights-before-lefts at equal ts (at-or-before
+    # semantics), then the deterministic duplicate-reference keeper order
+    # (last == max by (ref_event_id, ref_value), NULLS FIRST so non-null
+    # wins), then event_id so the sort is total over left duplicates too.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(
+            F.col(ts).asc(),
+            F.col("tag").asc(),
+            F.col("ref.ref_event_id").asc_nulls_first(),
+            F.col("ref.ref_value").asc_nulls_first(),
+            F.col("event_id").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = F.last("ref", ignorenulls=True).over(w)
+    return (
+        l.unionByName(r)
+        .withColumn("m", m)
+        .where(F.col("tag") == 1)
+        .select(
+            "event_id", on, ts,
+            F.col("m.ref_event_id").alias("ref_event_id"),
+            F.col("m.ref_value").alias("ref_value"),
+            F.col("m.ref_ts").alias("ref_ts"),
+        )
+    )
+
+
+@register(
+    "j_asof_join",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+        AND user_id IS NOT NULL AND ts IS NOT NULL),
+    r0 AS (
+      SELECT user_id, ts, event_id AS ref_event_id,
+             value + 0.0 AS ref_value
+      FROM events
+      WHERE event_type = 'view'
+        AND user_id IS NOT NULL AND ts IS NOT NULL),
+    r AS (
+      -- deterministic keeper among duplicate (user_id, ts) references:
+      -- max by (ref_event_id, ref_value), the same row the Spark merge
+      -- order designates
+      SELECT * FROM r0
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id, ts
+        ORDER BY ref_event_id DESC NULLS LAST,
+                 ref_value DESC NULLS LAST) = 1)
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ref_event_id, r.ref_value, r.ts AS ref_ts
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver registration: purchase→view attribution over the events table
+    (module docstring has the full design). Beyond-reference operator (the
+    reference has no temporal joins); DuckDB's native ASOF LEFT JOIN is the
+    oracle."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    keyed = ev.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    left = keyed.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    right = keyed.where(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("event_id").alias("ref_event_id"),
+        F.col("value").alias("ref_value"))
+    return asof_join(left, right, on="user_id", ts="ts")

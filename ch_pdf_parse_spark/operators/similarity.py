@@ -263,7 +263,6 @@ def _ann_sql() -> str:
     """
 
 
-@register("sim_ann_lsh", None)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: random-hyperplane LSH buckets (4 bands × 3 bits) → candidates →
     exact cosine re-rank top-3. The bucket join is the only wide op; bucket
@@ -284,7 +283,6 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL["sim_ann_lsh"] = _ann_sql()
 
 
 def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,7 +419,6 @@ def _ivf_sql() -> str:
     """
 
 
-@register("sim_ann_ivf", None)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via an inverted-file index: every vector is assigned to its best
     coarse-quantizer cell (argmax centroid dot); queries probe their top-
@@ -460,7 +457,28 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL["sim_ann_ivf"] = _ivf_sql()
+@register("sim_ann_lsh_ivf", None)
+def sim_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two fixed-quantizer ANN paths — random-hyperplane LSH banding and
+    inverted-file cell probing — as ONE dual-method registration (round-5
+    roster consolidation, same precedent as the IVF nprobe fold): a `method`
+    column tags each path's top-3, so both keep a driver correctness row
+    under the 50-entry roster cap while costing one slot. The branches stay
+    independent plans under one union (no shared state to entangle); each
+    branch's physical shape is still pinned individually in
+    tests/test_plans.py via the standalone functions."""
+    lsh = sim_ann_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank")
+    ivf = sim_ann_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank")
+    return lsh.unionByName(ivf)
+
+
+SQL["sim_ann_lsh_ivf"] = f"""
+    SELECT 'lsh' AS method, * FROM ({_ann_sql()})
+    UNION ALL
+    SELECT 'ivf' AS method, * FROM ({_ivf_sql()})
+    """
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,121 @@
+"""As-of join: independent recomputation + hostile-shape unit cases.
+
+The driver-facing oracle is DuckDB's native ASOF LEFT JOIN
+(operators/asof.py); here the SPARK result is additionally checked against
+pandas.merge_asof — a third, unrelated implementation — on the real driver
+table, and against hand-built hostile inputs (duplicate references at one
+timestamp, equal-ts tie, no predecessor, NULL reference values) whose
+expected outputs are written out by hand.
+"""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from ch_pdf_parse_spark.operators.asof import asof_join, j_asof_join
+
+SF = "/root/testdata/sf0.001"
+
+_T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ts(minutes):
+    return _T0 + dt.timedelta(minutes=minutes)
+
+
+def _run(spark, left_rows, right_rows):
+    left = spark.createDataFrame(
+        left_rows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        right_rows, "user_id long, ts timestamp, ref_event_id long, "
+        "ref_value double")
+    out = asof_join(left, right, on="user_id", ts="ts")
+    return {r.event_id: (r.ref_event_id, r.ref_value, r.ref_ts)
+            for r in out.collect()}
+
+
+def test_matches_pandas_merge_asof_on_driver_table(spark):
+    got = j_asof_join(spark, SF).toPandas().sort_values("event_id")
+
+    ev = pd.read_parquet(SF + "/events.parquet")
+    ev = ev[ev.user_id.notna() & ev.ts.notna()]
+    l = (ev[ev.event_type == "purchase"][["event_id", "user_id", "ts"]]
+         .sort_values("ts", kind="mergesort"))
+    r = ev[ev.event_type == "view"].rename(
+        columns={"event_id": "ref_event_id", "value": "ref_value"})
+    # same keeper the engine designates among duplicate (user_id, ts) refs:
+    # row-wise max by (ref_event_id, ref_value) with NULLs losing
+    # (na_position="first" + keep="last")
+    r = (r.sort_values(["ref_event_id", "ref_value"], na_position="first")
+         .drop_duplicates(subset=["user_id", "ts"], keep="last")
+         [["user_id", "ts", "ref_event_id", "ref_value"]]
+         .sort_values("ts", kind="mergesort"))
+    r["ref_ts"] = r["ts"]
+    want = pd.merge_asof(l, r, on="ts", by="user_id",
+                         direction="backward",
+                         allow_exact_matches=True).sort_values("event_id")
+
+    assert len(got) == len(want) > 0
+    for g, w in zip(got.itertuples(), want.itertuples()):
+        assert g.event_id == w.event_id
+        for col in ("ref_event_id", "ref_value", "ref_ts"):
+            gv, wv = getattr(g, col), getattr(w, col)
+            assert (pd.isna(gv) and pd.isna(wv)) or gv == wv, (
+                g.event_id, col, gv, wv)
+
+
+def test_basic_predecessor_and_equal_ts_tie(spark):
+    out = _run(
+        spark,
+        [(10, 1, _ts(30)), (11, 1, _ts(5)), (12, 2, _ts(30))],
+        [(1, _ts(10), 100, 1.5), (1, _ts(30), 101, 2.5),
+         (2, _ts(40), 102, 9.9)],
+    )
+    # at-or-before: the ts(30) purchase takes the ts(30) view, not ts(10)
+    assert out[10] == (101, 2.5, _ts(30))
+    # no view at-or-before ts(5) -> left-outer NULLs
+    assert out[11] == (None, None, None)
+    # user 2's only view is AFTER the purchase
+    assert out[12] == (None, None, None)
+
+
+def test_duplicate_reference_keeper_is_max(spark):
+    # three views share (user, ts): keeper = max (ref_event_id, ref_value),
+    # the contract both engines pin (NULL id sorts below any non-null)
+    out = _run(
+        spark,
+        [(10, 1, _ts(60))],
+        [(1, _ts(20), 7, 1.0), (1, _ts(20), 9, 2.0),
+         (1, _ts(20), None, 99.0)],
+    )
+    assert out[10] == (9, 2.0, _ts(20))
+
+
+def test_null_reference_value_carries_through(spark):
+    out = _run(spark, [(10, 1, _ts(60))], [(1, _ts(20), 7, None)])
+    assert out[10] == (7, None, _ts(20))
+
+
+def test_negative_zero_reference_value_canonicalized(spark):
+    out = _run(spark, [(10, 1, _ts(60))], [(1, _ts(20), 7, -0.0)])
+    import math
+
+    val = out[10][1]
+    assert val == 0.0 and math.copysign(1.0, val) == 1.0
+
+
+def test_left_duplicates_get_identical_matches(spark):
+    out_rows = asof_join(
+        spark.createDataFrame(
+            [(10, 1, _ts(30)), (10, 1, _ts(30))],
+            "event_id long, user_id long, ts timestamp"),
+        spark.createDataFrame(
+            [(1, _ts(10), 100, 1.5)],
+            "user_id long, ts timestamp, ref_event_id long, ref_value double"),
+        on="user_id", ts="ts").collect()
+    assert len(out_rows) == 2
+    assert out_rows[0] == out_rows[1]
+    assert out_rows[0].ref_event_id == 100

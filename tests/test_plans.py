@@ -97,6 +97,22 @@ def test_sim_ann_ivf_kmeans_dual_point_single_join(spark):
     assert n_joins == 1, plan
 
 
+def test_asof_join_one_exchange_zero_joins(spark):
+    """The as-of join (round 5) is the union-merge shape: tag both streams,
+    union, one window over (user_id) — so the plan must contain exactly ONE
+    Exchange (hash by user_id) and ZERO join operators. A Join node or a
+    second Exchange appearing here means someone rewrote it as a range join
+    (pair explosion at scale) or added a separate dedup shuffle (the keeper
+    is folded into the merge order by design)."""
+    from ch_pdf_parse_spark.operators.asof import j_asof_join
+
+    plan = _formatted(j_asof_join(spark, "/root/testdata/sf0.001"))
+    assert not re.search(r"Join|CartesianProduct", plan), plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
+
+
 def test_pii_scrub_zero_exchanges(spark):
     """PII detect+mask is a pure per-row projection — the regex counts and
     the chained regexp_replace must never introduce a shuffle."""

@@ -193,7 +193,9 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
         "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
         and bool(re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p)))
 
-    p = formatted_plan(q["sim_ann_ivf"](spark, sf_dir))
+    from ch_pdf_parse_spark.operators.similarity import sim_ann_ivf
+
+    p = formatted_plan(sim_ann_ivf(spark, sf_dir))
     plans["sim_ann_ivf"] = p
     add("sim_ann_ivf", "cell equi-join, assignment map-side (no NLJ)",
         "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
@@ -328,6 +330,19 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
         "parquet-fed flagship (parse chains onto the binary scan)",
         p.count("MapInArrow") >= 2 and n_wire == n_parq,
         f"{n_wire} exchanges (parquet path: {n_parq})")
+
+    # --- r5: as-of join is union-merge, not a range join ------------------
+    from ch_pdf_parse_spark.operators.asof import j_asof_join
+
+    p = formatted_plan(j_asof_join(spark, sf_dir))
+    plans["j_asof_join"] = p
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    add("j_asof_join", "union-merge as-of: ONE Exchange (hash by user_id), "
+        "ZERO Join nodes — no range-join pair explosion, no separate "
+        "dedup shuffle",
+        n_ex == 1 and not re.search(r"Join|CartesianProduct", p)
+        and "hashpartitioning(user_id" in p,
+        f"{n_ex} exchanges")
 
     return checks, plans
 
