@@ -1,4 +1,6 @@
-"""As-of (temporal nearest-predecessor) join — the canonical operator Spark's
+"""Temporal event-stream operators: the as-of join and gap sessionization.
+
+As-of (temporal nearest-predecessor) join — the canonical operator Spark's
 DataFrame API lacks, built as a composition of existing ops (no UDF, no
 custom physical strategy).
 
@@ -49,7 +51,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..registry import register, _t
+from ..registry import exact_sum, exact_sum_sql, q_sql, quantize, register, _t
 
 _REF_T = "struct<ref_event_id:bigint,ref_value:double,ref_ts:timestamp>"
 
@@ -146,3 +148,79 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("ref_event_id"),
         F.col("value").alias("ref_value"))
     return asof_join(left, right, on="user_id", ts="ts")
+
+
+SESSION_GAP = "INTERVAL 30 MINUTES"
+
+
+@register(
+    "a_sessionize_events",
+    f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE ts IS NOT NULL),
+    marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)),
+    sessioned AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id
+               ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_id
+      FROM marked)
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           {q_sql(exact_sum_sql("value"))} AS total_value
+    FROM sessioned
+    GROUP BY user_id, session_id
+    """,
+)
+def a_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization — the other canonical temporal operator a
+    web-scale events pipeline needs: a user's events split into sessions at
+    every inactivity gap > 30 minutes (lag + boundary-flag prefix-sum, the
+    time-gap analog of A2's cumulative-sum session ids over spans).
+
+    Scale shape: one Exchange (hash by user_id) serves the lag window, the
+    session-id prefix-sum window, AND the final per-(user, session) agg —
+    Spark chains both windows and satisfies the groupBy's clustering from
+    the same partitioning (hash(user_id) ⊇ clustering(user_id, session_id)),
+    so text/value payloads shuffle exactly once (pinned in
+    tests/test_plans.py). Interval comparison (`ts > lag + INTERVAL`) avoids
+    epoch-seconds conversion, which would re-introduce session-timezone DST
+    semantics; NULL ts rows are excluded on both engines (gap from an
+    undefined time is undefined — a_windowed_events' contract); both window
+    sort keys are pinned NULLS FIRST (Spark's ASC default, NOT DuckDB's);
+    the session-id SUM casts to BIGINT (DuckDB HUGEINT divergence class);
+    value sums via decimal addends + quantize (registry doctrine)."""
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("ts", F.col("ts").cast("timestamp"))
+          .where(F.col("ts").isNotNull())
+          .select("user_id", "ts", "event_id", "value"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_first("ts"), F.asc_nulls_first("event_id"))
+    lag_ts = F.lag("ts").over(w)
+    marked = ev.withColumn(
+        "is_new",
+        (lag_ts.isNull()
+         | (F.col("ts") > lag_ts + F.expr(SESSION_GAP))).cast("long"))
+    sessioned = marked.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             quantize(exact_sum("value"), 4).alias("total_value"))
+    )

@@ -341,24 +341,6 @@ def agg_pricing_summary(spark, sf_dir):
 
 
 @register(
-    "p_coalesce_default",
-    """
-    SELECT o_orderkey,
-           COALESCE(NULLIF(o_orderpriority, '1-URGENT'), o_orderstatus) AS effective
-    FROM orders
-    """,
-)
-def p_coalesce_default(spark, sf_dir):
-    """P9: structure_function ← region_type defaulting = coalesce
-    (predict/pdf2markdown.py:226-227)."""
-    o = _t(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.coalesce(F.nullif("o_orderpriority", F.lit("1-URGENT")), "o_orderstatus")
-        .alias("effective"))
-
-
-@register(
     "m_need_info_gate",
     """
     SELECT doc_id,

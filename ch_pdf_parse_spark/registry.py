@@ -263,17 +263,22 @@ def p_bbox_arith(spark, sf_dir):
 
 
 @register(
-    "p_page_bucket",
+    "p_bucket_coalesce",
     """
     SELECT o_orderkey,
            CASE WHEN o_custkey % 20 = 0 THEN 0
-                ELSE (19 * (o_orderkey % 7)) // ((o_custkey % 20)) END AS page_pos
+                ELSE (19 * (o_orderkey % 7)) // ((o_custkey % 20)) END AS page_pos,
+           COALESCE(NULLIF(o_orderpriority, '1-URGENT'), o_orderstatus) AS effective
     FROM orders
     """,
 )
-def p_page_bucket(spark, sf_dir):
-    """P7: page-position bucketing 19*i // (total-1)
-    (predict/pdf2markdown.py:212-215)."""
+def p_bucket_coalesce(spark, sf_dir):
+    """P7 page-position bucketing 19*i // (total-1)
+    (predict/pdf2markdown.py:212-215) AND P9 structure_function ←
+    region_type defaulting = coalesce (:226-227), as one multi-column
+    projection over orders (round-5 roster consolidation, text_profile
+    precedent: the hash check covers every column, so both §2 rows keep a
+    driver correctness row at the cost of one slot)."""
     o = _t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -283,6 +288,8 @@ def p_page_bucket(spark, sf_dir):
         )
         .cast("long")
         .alias("page_pos"),
+        F.coalesce(F.nullif("o_orderpriority", F.lit("1-URGENT")),
+                   "o_orderstatus").alias("effective"),
     )
 
 

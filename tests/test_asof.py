@@ -107,6 +107,67 @@ def test_negative_zero_reference_value_canonicalized(spark):
     assert val == 0.0 and math.copysign(1.0, val) == 1.0
 
 
+def test_sessionize_gap_semantics(spark):
+    """Hand-built gap cases: >30 min splits, exactly 30 min does NOT
+    (strict >), per-user independence, and session stats."""
+    from ch_pdf_parse_spark.operators.asof import a_sessionize_events
+    import os
+    import tempfile
+
+    rows = [
+        # user 1: t0, +10m (same session), +41m (gap 31 -> new session)
+        (1, 1, _ts(0), "view", 1.0, None),
+        (2, 1, _ts(10), "view", 2.0, None),
+        (3, 1, _ts(41), "view", 4.0, None),
+        # user 2: exactly 30-minute gap stays ONE session
+        (4, 2, _ts(0), "view", 8.0, None),
+        (5, 2, _ts(30), "view", 16.0, None),
+        # null ts: excluded by contract
+        (6, 1, None, "view", 99.0, None),
+    ]
+    tmp = tempfile.mkdtemp(prefix="sessionize_")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+
+    got = {(r.user_id, r.session_id):
+           (r.n_events, r.session_start, r.session_end, r.total_value)
+           for r in a_sessionize_events(spark, tmp).collect()}
+    assert got == {
+        (1, 1): (2, _ts(0), _ts(10), 3.0),
+        (1, 2): (1, _ts(41), _ts(41), 4.0),
+        (2, 1): (2, _ts(0), _ts(30), 24.0),
+    }
+
+
+def test_sessionize_matches_builtin_session_window(spark):
+    """Third-implementation check on the real driver table: the window-
+    composition sessionizer must agree with Spark's built-in
+    F.session_window aggregation. The built-in splits at gap >= G ([start,
+    end) windows) while the operator splits at gap > 30min (strict, the
+    DuckDB-oracle-friendly contract), so the built-in runs with
+    G = 30min + 1µs — identical semantics at the data's microsecond
+    granularity."""
+    from ch_pdf_parse_spark.operators.asof import a_sessionize_events
+
+    sf = "/root/testdata/sf0.001"
+    mine = a_sessionize_events(spark, sf).select(
+        "user_id", "n_events", "session_start", "session_end").collect()
+    ev = (spark.read.parquet(sf + "/events.parquet")
+          .where(F.col("ts").isNotNull()))
+    ref = (ev.groupBy(F.session_window("ts", "30 minutes 1 microseconds"),
+                      "user_id")
+           .agg(F.count("*").alias("n_events"),
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"))
+           .select("user_id", "n_events", "session_start", "session_end")
+           .collect())
+    key = lambda r: (r.user_id, r.n_events, r.session_start, r.session_end)
+    assert sorted(map(key, mine)) == sorted(map(key, ref))
+    assert len(mine) > 0
+
+
 def test_left_duplicates_get_identical_matches(spark):
     out_rows = asof_join(
         spark.createDataFrame(

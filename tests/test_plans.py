@@ -113,6 +113,22 @@ def test_asof_join_one_exchange_zero_joins(spark):
     assert "hashpartitioning(user_id" in plan, plan
 
 
+def test_sessionize_one_exchange(spark):
+    """Gap sessionization (round 5): the lag window, the session-id
+    prefix-sum window, and the per-(user, session) aggregation must all ride
+    ONE hash(user_id) Exchange — Spark chains the same-spec windows over one
+    Sort and satisfies the groupBy's clustering from the existing
+    partitioning. A second Exchange means someone broke the shared window
+    spec or re-keyed the agg."""
+    from ch_pdf_parse_spark.operators.asof import a_sessionize_events
+
+    plan = _formatted(a_sessionize_events(spark, "/root/testdata/sf0.001"))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+
+
 def test_pii_scrub_zero_exchanges(spark):
     """PII detect+mask is a pure per-row projection — the regex counts and
     the chained regexp_replace must never introduce a shuffle."""

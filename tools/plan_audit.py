@@ -344,6 +344,19 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
         and "hashpartitioning(user_id" in p,
         f"{n_ex} exchanges")
 
+    # --- r5: gap sessionization rides one exchange end-to-end -------------
+    from ch_pdf_parse_spark.operators.asof import a_sessionize_events
+
+    p = formatted_plan(a_sessionize_events(spark, sf_dir))
+    plans["a_sessionize_events"] = p
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    n_sort = len(re.findall(r"\(\d+\) Sort", p))
+    add("a_sessionize_events", "lag window + session-id prefix-sum window + "
+        "per-(user, session) agg all ride ONE hash(user_id) Exchange and "
+        "ONE Sort",
+        n_ex == 1 and n_sort == 1 and "hashpartitioning(user_id" in p,
+        f"{n_ex} exchanges, {n_sort} sorts")
+
     return checks, plans
 
 
