@@ -24,10 +24,12 @@ exactly the merge phase of a merge join, done by the window sort:
 * per-partition cost is the window sort, O(n log n) rows-in-partition;
 * at 100 TB: shuffle volume = the two streams' key+payload columns only.
   Skew (one hot user) is the window's known weakness — the production
-  mitigation is range-partitioning by (user_id, ts-bucket) and replicating
-  each bucket's last reference row into the next bucket (a map-side
-  boundary exchange), which keeps the same merge semantics; not needed at
-  driver scale and therefore not implemented here.
+  mitigation is :func:`asof_join_bucketed`: partition the merge by
+  (user_id, time-bucket) and inject each bucket's carry-in (the last
+  reference from earlier buckets, computed on per-bucket lasts only), which
+  keeps the same merge semantics while spreading a hot key over its active
+  buckets. Row-identical to the plain merge by test, on the driver table
+  and on a hot-key corpus.
 
 Duplicate-reference resolution is folded INTO the merge order instead of a
 separate dedup shuffle: among `view` rows sharing (user_id, ts) the match
@@ -63,7 +65,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str) -> DataFrame:
     (on, ts, ref_event_id, ref_value). Returns left columns + the matched
     reference columns (NULL when no predecessor exists). Callers must have
     dropped NULL on/ts rows already."""
-    r = right.select(
+    u = _tag_right(right, on, ts).unionByName(_tag_left(left, on, ts))
+    return _merge(u, [on], on, ts)
+
+
+def _tag_right(right: DataFrame, on: str, ts: str) -> DataFrame:
+    return right.select(
         on, ts, F.lit(0).alias("tag"),
         F.lit(None).cast("long").alias("event_id"),
         F.struct(
@@ -72,29 +79,38 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str) -> DataFrame:
             F.col(ts).alias("ref_ts"),
         ).alias("ref"),
     )
-    l = left.select(
+
+
+def _tag_left(left: DataFrame, on: str, ts: str) -> DataFrame:
+    return left.select(
         on, ts, F.lit(1).alias("tag"), "event_id",
         F.lit(None).cast(_REF_T).alias("ref"),
     )
-    # Merge order: time, then rights-before-lefts at equal ts (at-or-before
-    # semantics), then the deterministic duplicate-reference keeper order
-    # (last == max by (ref_event_id, ref_value), NULLS FIRST so non-null
-    # wins), then event_id so the sort is total over left duplicates too.
+
+
+def _merge_order(ts: str) -> list:
+    """Merge order: time, then rights-before-lefts at equal ts (at-or-before
+    semantics), then the deterministic duplicate-reference keeper order
+    (last == max by (ref_event_id, ref_value), NULLS FIRST so non-null
+    wins), then event_id so the sort is total over left duplicates too."""
+    return [
+        F.col(ts).asc(),
+        F.col("tag").asc(),
+        F.col("ref.ref_event_id").asc_nulls_first(),
+        F.col("ref.ref_value").asc_nulls_first(),
+        F.col("event_id").asc_nulls_first(),
+    ]
+
+
+def _merge(u: DataFrame, part_cols: list, on: str, ts: str) -> DataFrame:
     w = (
-        Window.partitionBy(on)
-        .orderBy(
-            F.col(ts).asc(),
-            F.col("tag").asc(),
-            F.col("ref.ref_event_id").asc_nulls_first(),
-            F.col("ref.ref_value").asc_nulls_first(),
-            F.col("event_id").asc_nulls_first(),
-        )
+        Window.partitionBy(*part_cols)
+        .orderBy(*_merge_order(ts))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     m = F.last("ref", ignorenulls=True).over(w)
     return (
-        l.unionByName(r)
-        .withColumn("m", m)
+        u.withColumn("m", m)
         .where(F.col("tag") == 1)
         .select(
             "event_id", on, ts,
@@ -103,6 +119,70 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str) -> DataFrame:
             F.col("m.ref_ts").alias("ref_ts"),
         )
     )
+
+
+def asof_join_bucketed(left: DataFrame, right: DataFrame, on: str, ts: str,
+                       bucket_seconds: int = 86_400) -> DataFrame:
+    """Skew-hardened as-of join — the module docstring's production
+    mitigation, implemented: identical semantics to :func:`asof_join`
+    (asserted row-identical in tests/test_asof.py, driver table AND a
+    hot-key corpus), but the big merge window partitions by
+    (key, time-bucket) instead of (key), so one hot key spreads over as
+    many partitions as it has active buckets and no single task sorts the
+    whole key.
+
+    The boundary exchange: each left bucket must also see the last
+    reference from EARLIER buckets. That carry is computed on the
+    per-(key, bucket) LASTS only — two orders of magnitude smaller than the
+    data (one row per key per active bucket) — via the same
+    unbounded-preceding merge trick over buckets, then injected into each
+    bucket's merge as one synthetic tagged-right row. Total cost: the big
+    (key, bucket) window + two small aggregations; still zero Join nodes
+    against the event streams themselves.
+
+    Bucket assignment uses unix_timestamp (second truncation — monotone in
+    ts, so boundary placement is exact); bucket_seconds trades carry-table
+    size against per-partition sort size and would be tuned to the key's
+    event rate at production scale."""
+    b = (F.unix_timestamp(F.col(ts)) / F.lit(bucket_seconds)).cast("long")
+    r = _tag_right(right, on, ts).withColumn("b", b)
+    l = _tag_left(left, on, ts).withColumn("b", b)
+
+    # one row per (key, bucket): that bucket's keeper-ordered LAST right
+    w_last = Window.partitionBy(on, "b").orderBy(
+        F.col(ts).desc(),
+        F.col("ref.ref_event_id").desc_nulls_last(),
+        F.col("ref.ref_value").desc_nulls_last(),
+    )
+    bucket_last = (
+        r.withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select(on, "b", "ref")
+    )
+    # carry-in for every bucket that contains lefts: the last right over all
+    # strictly-earlier buckets (frame excludes the current row, so a
+    # bucket's own rights stay with the in-bucket merge)
+    seq = (
+        l.select(on, "b").distinct()
+        .unionByName(bucket_last.select(on, "b")).distinct()
+        .join(bucket_last, [on, "b"], "left")
+    )
+    w_carry = (
+        Window.partitionBy(on)
+        .orderBy(F.col("b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        seq.withColumn("carry", F.last("ref", ignorenulls=True).over(w_carry))
+        .where(F.col("carry").isNotNull())
+        .select(
+            on, F.col("carry.ref_ts").alias(ts), F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("carry").alias("ref"), "b",
+        )
+    )
+    u = l.unionByName(r).unionByName(carry.select(*l.columns))
+    return _merge(u, [on, "b"], on, ts)
 
 
 @register(

@@ -107,6 +107,49 @@ def test_negative_zero_reference_value_canonicalized(spark):
     assert val == 0.0 and math.copysign(1.0, val) == 1.0
 
 
+def _sorted_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_bucketed_asof_equals_plain_on_driver_table(spark):
+    """The skew-hardened (key, time-bucket) variant must be row-identical to
+    the plain merge on the real driver table, at a bucket width small enough
+    (1 h) that carries actually happen across the 30-day span."""
+    from ch_pdf_parse_spark.operators.asof import asof_join_bucketed
+
+    ev = (spark.read.parquet(SF + "/events.parquet")
+          .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull()))
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("ref_event_id"),
+        F.col("value").alias("ref_value"))
+    plain = asof_join(left, right, on="user_id", ts="ts")
+    bucketed = asof_join_bucketed(left, right, on="user_id", ts="ts",
+                                  bucket_seconds=3600)
+    a, b = _sorted_rows(plain), _sorted_rows(bucketed)
+    assert len(a) == len(b) > 0
+    assert a == b
+
+
+def test_bucketed_asof_equals_plain_on_hot_key(spark):
+    """One user owns almost every event (the skew case the variant exists
+    for), with views sparse enough that most buckets depend on the carry."""
+    from ch_pdf_parse_spark.operators.asof import asof_join_bucketed
+
+    lrows = [(i, 1 if i % 50 else 2, _ts(i * 7)) for i in range(400)]
+    rrows = [(1, _ts(j * 97), 1000 + j, float(j)) for j in range(12)]
+    left = spark.createDataFrame(
+        lrows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        rrows, "user_id long, ts timestamp, ref_event_id long, "
+        "ref_value double")
+    plain = asof_join(left, right, on="user_id", ts="ts")
+    bucketed = asof_join_bucketed(left, right, on="user_id", ts="ts",
+                                  bucket_seconds=600)
+    assert _sorted_rows(plain) == _sorted_rows(bucketed)
+
+
 def test_sessionize_gap_semantics(spark):
     """Hand-built gap cases: >30 min splits, exactly 30 min does NOT
     (strict >), per-user independence, and session stats."""

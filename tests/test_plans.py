@@ -113,6 +113,27 @@ def test_asof_join_one_exchange_zero_joins(spark):
     assert "hashpartitioning(user_id" in plan, plan
 
 
+def test_bucketed_asof_partitions_by_key_and_bucket(spark):
+    """The skew-hardened as-of variant must run its BIG merge window
+    partitioned by (user_id, b) — that spread is the whole point — and the
+    carry join over the per-(key, bucket) lasts must broadcast (it is two
+    orders of magnitude smaller than the streams; a SortMergeJoin there
+    would re-shuffle the lasts for nothing)."""
+    from ch_pdf_parse_spark.operators.asof import asof_join_bucketed
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull()))
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("ref_event_id"),
+        F.col("value").alias("ref_value"))
+    plan = _formatted(asof_join_bucketed(left, right, on="user_id", ts="ts"))
+    assert re.search(r"hashpartitioning\(user_id#\d+L?, b#", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_sessionize_one_exchange(spark):
     """Gap sessionization (round 5): the lag window, the session-id
     prefix-sum window, and the per-(user, session) aggregation must all ride
