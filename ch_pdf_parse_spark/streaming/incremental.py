@@ -100,6 +100,33 @@ def windowed_event_stats(events_stream: DataFrame,
     )
 
 
+def sessionized_event_stats(events_stream: DataFrame,
+                            watermark: str = "10 minutes",
+                            gap: str = "30 minutes 1 microseconds"
+                            ) -> DataFrame:
+    """Streaming gap sessionization — the streaming twin of the batch
+    ``a_sessionize_events`` operator, via ``F.session_window`` (merging
+    session state, closed and emitted once the watermark passes a session's
+    end + gap; state is bounded by the open-session horizon, the streaming
+    analog of the batch operator's single key-partitioned pass). The default
+    gap is 30min + 1µs: the built-in splits at gap >= G while the batch
+    operator splits at gap > 30min, so at the data's microsecond granularity
+    the two emit identical sessions (pinned in tests/test_asof.py for batch,
+    tests/test_streaming.py for the stream)."""
+    return (
+        events_stream
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             quantize(exact_sum("value"), 4).alias("total_value"))
+        .select("user_id", "n_events", "session_start", "session_end",
+                "total_value")
+    )
+
+
 def dedup_event_stream(events_stream: DataFrame,
                        watermark: str = "30 minutes") -> DataFrame:
     """Streaming exact dedup on the event key — the streaming twin of

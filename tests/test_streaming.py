@@ -101,6 +101,37 @@ def test_windowed_stats_match_batch(spark, tmp_path):
     assert got <= want and len(got) > 0
 
 
+def test_sessionized_stream_matches_batch_operator(spark, tmp_path):
+    """Streaming session windows (closed by the watermark) must agree with
+    the BATCH a_sessionize_events operator session-for-session: same
+    (user, n_events, start, end, total_value). Append mode emits only
+    sessions the watermark has closed, so the emitted set is a subset."""
+    from ch_pdf_parse_spark.operators.asof import a_sessionize_events
+    from ch_pdf_parse_spark.streaming.incremental import (
+        sessionized_event_stats)
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(sf + "/events.parquet")
+    src = str(tmp_path / "sess_in")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        sessionized_event_stats(stream)
+        .writeStream.format("memory").queryName("sessstats")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.sql("select * from sessstats").collect()}
+
+    want = {
+        (r.user_id, r.n_events, r.session_start, r.session_end,
+         r.total_value)
+        for r in a_sessionize_events(spark, sf).collect()
+    }
+    assert got <= want and len(got) > 0
+
+
 def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
     """At-least-once redelivery (the same events file landing twice plus a
     partial re-drop) must come out exactly once per event_id, matching the
