@@ -163,7 +163,7 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: str, ts: str,
     # strictly-earlier buckets (frame excludes the current row, so a
     # bucket's own rights stay with the in-bucket merge)
     seq = (
-        l.select(on, "b").distinct()
+        l.select(on, "b")
         .unionByName(bucket_last.select(on, "b")).distinct()
         .join(bucket_last, [on, "b"], "left")
     )
@@ -230,7 +230,14 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(left, right, on="user_id", ts="ts")
 
 
-SESSION_GAP = "INTERVAL 30 MINUTES"
+SESSION_GAP_MINUTES = 30
+# one constant, three dialects: Spark interval expr (batch operator), DuckDB
+# interval literal (oracle SQL below), and the streaming twin's
+# session_window gap (+1us bridges built-in >= to the batch strict >) —
+# they must move together or the oracle hash / stream-agreement tests break
+SESSION_GAP = f"INTERVAL {SESSION_GAP_MINUTES} MINUTES"
+SESSION_GAP_DUCK = f"INTERVAL {SESSION_GAP_MINUTES} MINUTE"
+SESSION_GAP_STREAM = f"{SESSION_GAP_MINUTES} minutes 1 microseconds"
 
 
 @register(
@@ -242,7 +249,7 @@ SESSION_GAP = "INTERVAL 30 MINUTES"
     marked AS (
       SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    OR ts > lag(ts) OVER w + {SESSION_GAP_DUCK}
                   THEN 1 ELSE 0 END AS is_new
       FROM e
       WINDOW w AS (PARTITION BY user_id

@@ -102,8 +102,7 @@ def windowed_event_stats(events_stream: DataFrame,
 
 def sessionized_event_stats(events_stream: DataFrame,
                             watermark: str = "10 minutes",
-                            gap: str = "30 minutes 1 microseconds"
-                            ) -> DataFrame:
+                            gap: str | None = None) -> DataFrame:
     """Streaming gap sessionization — the streaming twin of the batch
     ``a_sessionize_events`` operator, via ``F.session_window`` (merging
     session state, closed and emitted once the watermark passes a session's
@@ -113,6 +112,10 @@ def sessionized_event_stats(events_stream: DataFrame,
     operator splits at gap > 30min, so at the data's microsecond granularity
     the two emit identical sessions (pinned in tests/test_asof.py for batch,
     tests/test_streaming.py for the stream)."""
+    from ..operators.asof import SESSION_GAP_STREAM
+
+    if gap is None:
+        gap = SESSION_GAP_STREAM
     return (
         events_stream
         .withColumn("ts", F.col("ts").cast("timestamp"))

@@ -199,7 +199,9 @@ def test_sessionize_matches_builtin_session_window(spark):
         "user_id", "n_events", "session_start", "session_end").collect()
     ev = (spark.read.parquet(sf + "/events.parquet")
           .where(F.col("ts").isNotNull()))
-    ref = (ev.groupBy(F.session_window("ts", "30 minutes 1 microseconds"),
+    from ch_pdf_parse_spark.operators.asof import SESSION_GAP_STREAM
+
+    ref = (ev.groupBy(F.session_window("ts", SESSION_GAP_STREAM),
                       "user_id")
            .agg(F.count("*").alias("n_events"),
                 F.min("ts").alias("session_start"),
