@@ -211,6 +211,7 @@ def main() -> None:
     spark = get_spark("bench-queries", cores=CPUS, shuffle_partitions=max(32, CPUS * 4))
     try:
         from ch_pdf_parse_spark.operators.asof import j_asof_join
+        from ch_pdf_parse_spark.operators.cdc import pipeline_cdc_compact
         from ch_pdf_parse_spark.operators.cluster import dedup_clusters
         from ch_pdf_parse_spark.operators.dedup import (
             dedup_minhash_lsh, pipeline_decontaminate)
@@ -231,6 +232,7 @@ def main() -> None:
                          ("q_sim_ann_ivf_kmeans", sim_ann_ivf_kmeans),
                          ("q_agg_pricing", agg_pricing_summary),
                          ("q_asof_join", j_asof_join),
+                         ("q_cdc_compact", pipeline_cdc_compact),
                          ("q_decontaminate", pipeline_decontaminate),
                          ("q_pii_scrub", pipeline_pii_scrub),
                          ("q_source_mix", pipeline_source_mix),

@@ -223,27 +223,6 @@ def j_equijoin_broadcast(spark, sf_dir):
 
 
 @register(
-    "o_order_reversal",
-    """
-    SELECT l_orderkey, l_linenumber,
-           300 - ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                                    ORDER BY l_linenumber NULLS FIRST)
-             AS order_score
-    FROM lineitem
-    """,
-)
-def o_order_reversal(spark, sf_dir):
-    """O3: reversed order labels order_id = 300 - i (train/preprocess.py:580-581
-    — why bigger score means earlier in the reading-order sort O1). NULLS
-    FIRST pinned in the oracle: Spark's bare ASC is nulls-first, DuckDB's is
-    nulls-last (tools/adversarial_gate.py seed 31, null order keys)."""
-    w = Window.partitionBy("l_orderkey").orderBy(F.asc_nulls_first("l_linenumber"))
-    return _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber",
-        (F.lit(300) - F.row_number().over(w)).cast("long").alias("order_score"))
-
-
-@register(
     "a_markdown_fold",
     """
     SELECT l_orderkey,

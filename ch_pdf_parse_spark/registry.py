@@ -232,22 +232,46 @@ def p_filter_project(spark, sf_dir):
 
 
 @register(
-    "p_bbox_arith",
+    "p_bbox_order",
     """
     SELECT l_orderkey, l_linenumber,
            CAST(FLOOR(l_extendedprice * (1024.0 / NULLIF(GREATEST(l_quantity, l_tax * 100), 0) - 0.00001)) AS BIGINT) AS norm_px,
-           GREATEST(l_quantity, 1.0 + 5.0) AS fixed_x2
+           GREATEST(l_quantity, 1.0 + 5.0) AS fixed_x2,
+           300 - ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_linenumber NULLS FIRST,
+                                             l_extendedprice NULLS FIRST,
+                                             l_quantity NULLS FIRST,
+                                             l_tax NULLS FIRST)
+             AS order_score
     FROM lineitem
     """,
 )
-def p_bbox_arith(spark, sf_dir):
+def p_bbox_order(spark, sf_dir):
     """P5/P6: bbox sanitize + normalize-to-1024 arithmetic
-    (predict/ppocr_server.py:98-101; predict/pdf2markdown.py:240-248).
+    (predict/ppocr_server.py:98-101; predict/pdf2markdown.py:240-248), plus
+    O3's reversed order labels order_id = 300 - i
+    (train/preprocess.py:580-581 — why bigger score means earlier in the
+    reading-order sort O1) as one multi-column registration over the same
+    (l_orderkey, l_linenumber) grain (round-5 roster consolidation).
 
     A zero page side is NULL on both engines (Spark ``try_divide`` ↔ DuckDB
     ``NULLIF`` divisor): under ANSI Spark raises on x/0 while DuckDB yields
     ±inf — an explicit contract replaces two different failure modes
-    (tools/adversarial_gate.py)."""
+    (tools/adversarial_gate.py). NULLS FIRST pinned on the window order
+    keys: Spark's bare ASC is nulls-first, DuckDB's is nulls-last (gate
+    seed 31). The order extends past l_linenumber to (extendedprice,
+    quantity, tax): the corpus has duplicate line numbers per order, and
+    with norm_px now in the SAME row the tie assignment is output-visible —
+    the ordering must be total over every column the row carries (the old
+    standalone o_order_reversal could leave ties arbitrary because its tied
+    output rows were identical)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.asc_nulls_first("l_linenumber"),
+        F.asc_nulls_first("l_extendedprice"),
+        F.asc_nulls_first("l_quantity"),
+        F.asc_nulls_first("l_tax"))
     li = _t(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -259,6 +283,8 @@ def p_bbox_arith(spark, sf_dir):
                - 0.00001)
         ).cast("bigint").alias("norm_px"),
         F.greatest(F.col("l_quantity"), F.lit(1.0) + 5.0).alias("fixed_x2"),
+        (F.lit(300) - F.row_number().over(w)).cast("long")
+        .alias("order_score"),
     )
 
 
@@ -512,6 +538,7 @@ def _load_operator_modules() -> None:
     earlier one registers with its dependent — e.g. dedup registers during
     text_analysis's import — which is fine: those are the stable core.)"""
     from .operators import (  # noqa: F401
+        cdc,
         asof,
         pii,
         quality_metrics,

@@ -113,6 +113,19 @@ def test_asof_join_one_exchange_zero_joins(spark):
     assert "hashpartitioning(user_id" in plan, plan
 
 
+def test_cdc_compact_partial_agg_one_exchange(spark):
+    """CDC compaction (round 5) must be the map-side-combined argmax, not a
+    window rank: partial_max_by BEFORE the single Exchange (shuffle volume
+    bounded by keys-per-partition, not changes) and no Window node. A
+    Window/row_number rewrite here would shuffle the whole changelog."""
+    from ch_pdf_parse_spark.operators.cdc import pipeline_cdc_compact
+
+    plan = _formatted(pipeline_cdc_compact(spark, "/root/testdata/sf0.001"))
+    assert "partial_max_by" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Window" not in plan, plan
+
+
 def test_bucketed_asof_partitions_by_key_and_bucket(spark):
     """The skew-hardened as-of variant must run its BIG merge window
     partitioned by (user_id, b) — that spread is the whole point — and the

@@ -357,6 +357,18 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
         n_ex == 1 and n_sort == 1 and "hashpartitioning(user_id" in p,
         f"{n_ex} exchanges, {n_sort} sorts")
 
+    # --- r5: CDC compaction is a map-side-combined argmax, not a window ---
+    from ch_pdf_parse_spark.operators.cdc import pipeline_cdc_compact
+
+    p = formatted_plan(pipeline_cdc_compact(spark, sf_dir))
+    plans["pipeline_cdc_compact"] = p
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    add("pipeline_cdc_compact", "partial_max_by BEFORE the single Exchange "
+        "(shuffle volume bounded by keys-per-partition, not changes), no "
+        "Window node",
+        "partial_max_by" in p and n_ex == 1 and "Window" not in p,
+        f"{n_ex} exchanges")
+
     return checks, plans
 
 
