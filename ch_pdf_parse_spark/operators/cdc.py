@@ -20,12 +20,15 @@ sorts are local — the shuffle-volume property is the scale claim). At
 day of changes and shuffling the key space.
 
 Determinism (adversarial-gate doctrine): the argmax ordering struct
-coalesces every field (NULL seq → -1, NULL value → -1e308, NULL
-event_type → '') and includes ALL payload-visible columns, so equal
-ordering implies equal output row — no partition-order dependence even
-under hostile duplicate/NULL changelogs. The DuckDB oracle expresses the
-same keeper with QUALIFY row_number() (equivalent to the struct max
-because every ordering field is non-null after coalescing).
+carries, for every payload-visible column, a not-null FLAG followed by
+the coalesced value (non-null beats NULL, and a NULL can never tie a row
+whose real value equals the sentinel — a plain COALESCE ordering would
+let (seq=NULL) and (seq=-1) rows collide while their payloads differ,
+which is exactly the partition-order-dependence this struct exists to
+kill; found by review, pinned in tests/test_cdc.py). Equal ordering
+therefore implies equal output row. The DuckDB oracle expresses the same
+keeper with QUALIFY row_number() over the identical flag+value key list
+(equivalent to the struct max because every ordering field is non-null).
 
 The driver registration synthesizes the changelog deterministically from
 the events table (key = event_id % 5003, seq = event_id, every 17th change
@@ -46,8 +49,11 @@ def compact_changelog(ch: DataFrame) -> DataFrame:
     """(key, seq, op, value, event_type) changelog → current state.
     One hash aggregate, map-side combined; see module docstring."""
     ord_ = F.struct(
+        F.col("seq").isNotNull().cast("int").alias("s1n"),
         F.coalesce(F.col("seq"), F.lit(-1)).alias("s1"),
+        (F.col("value") + F.lit(0.0)).isNotNull().cast("int").alias("s2n"),
         F.coalesce(F.col("value") + F.lit(0.0), F.lit(_NEG)).alias("s2"),
+        F.col("event_type").isNotNull().cast("int").alias("s3n"),
         F.coalesce(F.col("event_type"), F.lit("")).alias("s3"),
         F.col("op").alias("s4"),
     )
@@ -80,8 +86,9 @@ def compact_changelog(ch: DataFrame) -> DataFrame:
       SELECT * FROM ch
       QUALIFY row_number() OVER (
         PARTITION BY key
-        ORDER BY COALESCE(seq, -1) DESC,
-                 COALESCE(value, -1e308) DESC,
+        ORDER BY (seq IS NOT NULL) DESC, COALESCE(seq, -1) DESC,
+                 (value IS NOT NULL) DESC, COALESCE(value, -1e308) DESC,
+                 (event_type IS NOT NULL) DESC,
                  COALESCE(event_type, '') DESC,
                  op DESC) = 1)
     SELECT key, seq AS last_seq, value, event_type

@@ -18,6 +18,14 @@ from ch_pdf_parse_spark.operators.cdc import (compact_changelog,
 SF = "/root/testdata/sf0.001"
 
 
+def _cmod(a: int, m: int) -> int:
+    """C-style (truncating) modulo — what Spark's % and DuckDB's % compute.
+    Python's % is floor-mod and disagrees for negative dividends
+    (-1 % 5003 = 5002 in Python, -1 in Spark/DuckDB); the third
+    implementation must implement the engines' contract, not Python's."""
+    return a - int(a / m) * m
+
+
 def test_matches_pure_python_fold_on_driver_table(spark):
     got = {r.key: (r.last_seq, r.value, r.event_type)
            for r in pipeline_cdc_compact(spark, SF).collect()}
@@ -27,15 +35,17 @@ def test_matches_pure_python_fold_on_driver_table(spark):
     rows = []
     for t in ev.itertuples():
         eid = t.event_id
-        key = None if pd.isna(eid) else eid % 5003
+        key = None if pd.isna(eid) else _cmod(eid, 5003)
         seq = None if pd.isna(eid) else eid
-        op = "D" if (seq is not None and seq % 17 == 0) else "U"
+        op = "D" if (seq is not None and _cmod(seq, 17) == 0) else "U"
         val = None if pd.isna(t.value) else t.value + 0.0
         et = None if (isinstance(t.event_type, float)
                       and math.isnan(t.event_type)) else t.event_type
-        ord_ = (seq if seq is not None else -1,
-                val if val is not None else -1.0e308,
-                et if et is not None else "", op)
+        # not-null flag before each coalesced value: mirrors the engine
+        # ordering struct so NULL can never tie a sentinel-valued row
+        ord_ = (seq is not None, seq if seq is not None else -1,
+                val is not None, val if val is not None else -1.0e308,
+                et is not None, et if et is not None else "", op)
         rows.append((key, ord_, (op, seq, val, et)))
     for key, ord_, payload in rows:
         if key not in state or ord_ > state[key][0]:
@@ -80,6 +90,24 @@ def test_null_key_group_compacts_too(spark):
         (None, 2, "U", 2.0, "b"),
     ])
     assert out == {None: (2, 2.0, "b")}
+
+
+def test_null_never_ties_its_sentinel(spark):
+    """Review finding (round 5): with a plain COALESCE ordering, a NULL
+    field and a row whose real value equals the sentinel would collide
+    while their payloads differ — the not-null flags must keep the
+    ordering total. The real -1 seq must beat the NULL seq, the real ''
+    event_type must beat the NULL one."""
+    out = _run(spark, [
+        (1, -1, "U", 1.0, "real-neg-one"),
+        (1, None, "U", 1.0, "null-seq"),
+    ])
+    assert out == {1: (-1, 1.0, "real-neg-one")}
+    out = _run(spark, [
+        (2, None, "U", 1.0, ""),
+        (2, None, "U", 1.0, None),
+    ])
+    assert out == {2: (None, 1.0, "")}
 
 
 def test_duplicate_max_rows_are_deterministic(spark):
