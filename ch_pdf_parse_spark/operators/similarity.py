@@ -188,9 +188,8 @@ def _banded_pair_scores(left: DataFrame, right: DataFrame, pair_pred,
     return scored.groupBy("id_l", "id_r").agg(F.max("c").alias("c"))
 
 
-@register(
-    "sim_topk_bruteforce",
-    f"""
+def _topk_sql() -> str:
+    return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),
          scored AS (
@@ -202,10 +201,11 @@ def _banded_pair_scores(left: DataFrame, right: DataFrame, pair_pred,
                   ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY c DESC, neighbor_id) AS rank
            FROM scored)
-    SELECT query_id, neighbor_id, rank, CAST(CAST(CAST(CAST((c) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,3)) AS DOUBLE) AS cos
+    SELECT query_id, neighbor_id, rank
     FROM ranked WHERE rank <= {TOPK}
-    """,
-)
+    """
+
+
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k (brute force): the ANN correctness baseline.
     The CORPUS is the streamed (build-free) side and the small QUERY set is
@@ -457,24 +457,29 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_lsh_ivf", None)
-def sim_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The two fixed-quantizer ANN paths — random-hyperplane LSH banding and
-    inverted-file cell probing — as ONE dual-method registration (round-5
-    roster consolidation, same precedent as the IVF nprobe fold): a `method`
-    column tags each path's top-3, so both keep a driver correctness row
-    under the 50-entry roster cap while costing one slot. The branches stay
+@register("sim_ann_methods", None)
+def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three fixed-codebook similarity paths — exact brute-force top-k
+    (the recall baseline), random-hyperplane LSH banding, and inverted-file
+    cell probing — as ONE method-tagged registration (round-5 roster
+    consolidation, same precedent as the IVF nprobe fold): a `method` column
+    tags each path's top-k, so all three keep a driver correctness row under
+    the 50-entry roster cap while costing one slot. The branches stay
     independent plans under one union (no shared state to entangle); each
     branch's physical shape is still pinned individually in
     tests/test_plans.py via the standalone functions."""
+    exact = sim_topk_bruteforce(spark, sf_dir).select(
+        F.lit("exact").alias("method"), "query_id", "neighbor_id", "rank")
     lsh = sim_ann_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank")
     ivf = sim_ann_ivf(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank")
-    return lsh.unionByName(ivf)
+    return exact.unionByName(lsh).unionByName(ivf)
 
 
-SQL["sim_ann_lsh_ivf"] = f"""
+SQL["sim_ann_methods"] = f"""
+    SELECT 'exact' AS method, * FROM ({_topk_sql()})
+    UNION ALL
     SELECT 'lsh' AS method, * FROM ({_ann_sql()})
     UNION ALL
     SELECT 'ivf' AS method, * FROM ({_ivf_sql()})

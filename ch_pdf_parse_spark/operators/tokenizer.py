@@ -1,0 +1,149 @@
+"""Distributed BPE tokenizer training — the canonical LLM-pipeline step the
+inventory was missing: learn byte-pair-encoding merges from the corpus.
+
+Scale shape (how SentencePiece/HF trainers actually run on big corpora, and
+the same split as the IVF k-means codebook): the DATA-SCALE stage is a
+distributed word histogram — pre-tokenize on spaces, `groupBy(word).count()`
+with map-side partial combine (one shuffle whose volume is bounded by
+distinct words per partition, Heaps-law ≪ corpus), then a deterministic
+top-V cap (ORDER BY count DESC, word — a total order, so the cap is
+reproducible) bounds what reaches the driver. The merge LOOP then runs
+driver-side over the capped histogram: each BPE iteration is a pure
+function of the (word → count) dict, touching V entries, not the corpus —
+at 100 TB the histogram agg is the only part that sees the data, exactly
+like a real tokenizer-training job. (A naive per-iteration corpus re-scan
+would be K full passes; training on the word histogram is the standard
+factorization that makes BPE corpus-size-independent after one pass.)
+
+Determinism: merge selection breaks count ties on the lexicographically
+smallest pair; the histogram cap's total order is (count DESC, word ASC);
+pre-tokenization is a plain single-space split with empties dropped (NULL
+text ≡ ''). Integer counts end-to-end — nothing float touches the result.
+
+Oracle: the merge table cannot be recomputed in SQL (it is an iterative
+fixpoint — same class as dedup_clusters' recursive CTE, but state-carrying
+across iterations), so the oracle is a DYNAMIC one (registry.DYNAMIC_SQL,
+k-means precedent): an INDEPENDENT pure-Python pipeline — pyarrow parquet
+read → python split/Counter histogram → the shared merge loop — emits the
+expected rows as a VALUES literal. The distributed stage (the histogram,
+where cross-engine divergence could live) is therefore derived twice from
+the raw parquet by unrelated implementations; the merge loop is shared
+single-source pure Python (the dHash64/golden precedent).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import DYNAMIC_SQL, register, _t
+
+BPE_TOP_WORDS = 4000   # histogram cap collected to the driver
+BPE_MERGES = 40        # merge iterations
+_END = "</w>"          # end-of-word marker symbol
+
+
+def bpe_merges(hist: list[tuple[str, int]], k: int = BPE_MERGES
+               ) -> list[tuple[int, str, str, int]]:
+    """Classic BPE over a (word, count) histogram: k rounds of merging the
+    most frequent adjacent symbol pair (ties → lexicographically smallest
+    pair). Returns (rank, left, right, pair_count) rows. Pure function,
+    integer-exact — shared by the Spark operator and the oracle."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for word, count in hist:
+        sym = tuple(word) + (_END,)
+        vocab[sym] = vocab.get(sym, 0) + count
+    merges = []
+    for rank in range(k):
+        pairs: Counter = Counter()
+        for sym, cnt in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, c))
+        merged = a + b
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, cnt in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+def word_histogram(docs: DataFrame, top: int = BPE_TOP_WORDS
+                   ) -> list[tuple[str, int]]:
+    """Distributed word histogram, capped deterministically: ONE map-side-
+    combined shuffle over words, then (count DESC, word ASC) top-V. Only
+    the capped histogram is collected."""
+    words = (
+        docs.select(F.explode(F.split(F.coalesce("text", F.lit("")),
+                                      " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    rows = (
+        words.groupBy("word").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(top)
+        .collect()
+    )
+    return [(r.word, r.n) for r in rows]
+
+
+# lhs/rhs, not left/right: LEFT/RIGHT are SQL keywords in DuckDB and the
+# oracle emits these as VALUES column aliases
+_MERGE_SCHEMA = "merge_rank int, lhs string, rhs string, pair_count long"
+
+
+@register("tokenizer_bpe_train", None)
+def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver registration: learn BPE_MERGES merges from the documents
+    table's text (module docstring has the full design)."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    hist = word_histogram(docs)
+    merges = [(r, a, b, int(c)) for r, a, b, c in bpe_merges(hist)]
+    return spark.createDataFrame(merges, _MERGE_SCHEMA)
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_oracle_sql(sf_dir: str) -> str:
+    """Independent recomputation of the expected merge table from the raw
+    parquet (no Spark, no shared histogram code), emitted as a VALUES
+    literal for DuckDB."""
+    import pyarrow.parquet as pq
+
+    counts: Counter = Counter()
+    table = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    for batch in table.to_batches():
+        for text in batch.column("text").to_pylist():
+            for word in (text or "").split(" "):
+                if word:
+                    counts[word] += 1
+    hist = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    hist = hist[:BPE_TOP_WORDS]
+    merges = bpe_merges(hist)
+    if not merges:
+        return ("SELECT CAST(NULL AS INT) AS merge_rank, "
+                "CAST(NULL AS VARCHAR) AS lhs, CAST(NULL AS VARCHAR) AS rhs, "
+                "CAST(NULL AS BIGINT) AS pair_count WHERE FALSE")
+    rows = ", ".join(
+        f"({r}, {_q(a)}, {_q(b)}, {c})" for r, a, b, c in merges)
+    return (f"SELECT * FROM (VALUES {rows}) "
+            f"t(merge_rank, lhs, rhs, pair_count)")
+
+
+DYNAMIC_SQL["tokenizer_bpe_train"] = _bpe_oracle_sql

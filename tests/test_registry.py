@@ -17,7 +17,7 @@ def test_queries_enumerable_without_session():
     assert set(sqls) <= set(qs)
     # flagship + §2.12 coverage spot checks
     for key in ("extract_spans", "extract_spans_relational", "extract_markdown",
-                "dedup_minhash_lsh", "sim_ann_lsh_ivf", "j_positional_join",
+                "dedup_minhash_lsh", "sim_ann_methods", "j_positional_join",
                 "a_group_concat_empty_sep", "text_profile",
                 "quality_metrics", "multimodal_phash_neardup"):
         assert key in qs, key

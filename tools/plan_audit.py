@@ -180,7 +180,9 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
         "partial" in p.lower() or "HashAggregate" in p)
 
     # --- similarity: broadcast direction + bucketed candidates (round 2) --
-    p = formatted_plan(q["sim_topk_bruteforce"](spark, sf_dir))
+    from ch_pdf_parse_spark.operators.similarity import sim_topk_bruteforce
+
+    p = formatted_plan(sim_topk_bruteforce(spark, sf_dir))
     plans["sim_topk_bruteforce"] = p
     cond = broadcast_side_filter_condition(p)
     add("sim_topk_bruteforce", "QUERY set broadcast, corpus streamed",
@@ -368,6 +370,23 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
         "Window node",
         "partial_max_by" in p and n_ex == 1 and "Window" not in p,
         f"{n_ex} exchanges")
+
+    # --- r5: BPE histogram caps via TopK, never a global sort -------------
+    import pyspark.sql.functions as _F
+
+    ddocs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    words = (ddocs.select(_F.explode(_F.split(
+        _F.coalesce("text", _F.lit("")), " ")).alias("word"))
+        .where(_F.col("word") != ""))
+    capped = (words.groupBy("word").agg(_F.count("*").alias("n"))
+              .orderBy(_F.col("n").desc(), _F.col("word").asc()).limit(100))
+    p = formatted_plan(capped)
+    plans["tokenizer_bpe_histogram"] = p
+    add("tokenizer_bpe_train", "histogram cap plans as TakeOrderedAndProject "
+        "(per-partition partial top-V + partial_count; no global sort of "
+        "the word space)",
+        "TakeOrderedAndProject" in p and "partial_count" in p
+        and not re.search(r"\(\d+\) Sort\b", p))
 
     return checks, plans
 
