@@ -221,6 +221,7 @@ def main() -> None:
         from ch_pdf_parse_spark.operators.relational_ops import agg_pricing_summary
         from ch_pdf_parse_spark.operators.similarity import (
             sim_ann_ivf_kmeans, sim_topk_bruteforce)
+        from ch_pdf_parse_spark.operators.tokenizer import tokenizer_bpe_train
 
         # q_sim_ann_ivf_kmeans now times the registered DUAL-point query
         # (nprobe 2 and 4 through one assignment/join/shuffle — round 5);
@@ -233,6 +234,7 @@ def main() -> None:
                          ("q_agg_pricing", agg_pricing_summary),
                          ("q_asof_join", j_asof_join),
                          ("q_cdc_compact", pipeline_cdc_compact),
+                         ("q_bpe_train", tokenizer_bpe_train),
                          ("q_decontaminate", pipeline_decontaminate),
                          ("q_pii_scrub", pipeline_pii_scrub),
                          ("q_source_mix", pipeline_source_mix),
