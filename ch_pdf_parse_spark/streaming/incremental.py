@@ -100,6 +100,57 @@ def windowed_event_stats(events_stream: DataFrame,
     )
 
 
+def incremental_cdc_state(
+    spark: SparkSession,
+    input_glob: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+) -> None:
+    """Incrementally-maintained CDC current state — the streaming twin of
+    operators/cdc.compact_changelog (the lakehouse MERGE INTO loop): each
+    newly-arrived changelog drop is folded into the persisted state
+    EXACTLY ONCE (availableNow + checkpoint), by compacting
+    (previous state ∪ batch changes). The state persists tombstones (op
+    column, compact_keep_tombstones) so a late lower-seq update can never
+    resurrect a deleted key across batches; readers take
+    ``WHERE op <> 'D'``. Per batch the work is |state ∪ batch| — the
+    incremental-view-maintenance shape: the raw changelog is never
+    re-scanned. The new state is written to a temp dir and swapped in
+    (never overwrite-while-reading — Spark reads lazily, so overwriting the
+    parquet a plan still scans corrupts the batch); production would be one
+    Iceberg MERGE commit instead of the swap."""
+    import shutil
+    import tempfile
+
+    from ..operators.cdc import compact_keep_tombstones
+
+    if schema is None:
+        schema = spark.read.parquet(input_glob).schema
+    stream = spark.readStream.schema(schema).parquet(input_glob)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            state = spark.read.parquet(state_dir)
+        except Exception:
+            state = None
+        merged = (batch_df.unionByName(state.select(*batch_df.columns))
+                  if state is not None else batch_df)
+        new_state = compact_keep_tombstones(merged)
+        tmp = tempfile.mkdtemp(prefix="cdc_state_")
+        new_state.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.move(tmp, state_dir)
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def sessionized_event_stats(events_stream: DataFrame,
                             watermark: str = "10 minutes",
                             gap: str | None = None) -> DataFrame:

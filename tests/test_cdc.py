@@ -110,6 +110,64 @@ def test_null_never_ties_its_sentinel(spark):
     assert out == {2: (None, 1.0, "")}
 
 
+def test_incremental_state_equals_batch_compaction(spark, tmp_path):
+    """The streaming maintenance loop (drop files → fold into persisted
+    state exactly once) must end at exactly the state the BATCH compaction
+    of the full changelog produces — including the cross-batch tombstone
+    case: key 7 is deleted at seq 50 in drop 1 and a straggler update with
+    seq 10 arrives in drop 2; without persisted tombstones it would
+    resurrect."""
+    import os
+
+    from ch_pdf_parse_spark.operators.cdc import compact_changelog
+    from ch_pdf_parse_spark.streaming.incremental import incremental_cdc_state
+
+    schema = ("key long, seq long, op string, value double, "
+              "event_type string")
+    drop1 = [(1, 10, "U", 1.0, "a"), (7, 50, "D", None, None),
+             (2, 5, "U", 2.0, "b")]
+    drop2 = [(7, 10, "U", 9.0, "ghost"),   # straggler after delete
+             (1, 20, "U", 1.5, "a2"),      # later update wins
+             (3, 1, "U", 3.0, "c")]
+    drop3 = [(2, 6, "D", None, None)]      # delete in the last batch
+
+    src = str(tmp_path / "cdc_in")
+    state = str(tmp_path / "cdc_state")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    os.makedirs(src)
+
+    def run_drop(name, rows):
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(src, name))
+        incremental_cdc_state(spark, src + "/*", state, ckpt,
+                              schema=spark.createDataFrame([], schema).schema)
+
+    run_drop("drop1", drop1)
+    mid = {r.key: r.seq for r in spark.read.parquet(state).collect()}
+    assert mid == {1: 10, 7: 50, 2: 5}  # tombstone for 7 persisted
+
+    run_drop("drop2", drop2)
+    run_drop("drop3", drop3)
+
+    got = {(r.key, r.seq, r.value, r.event_type)
+           for r in spark.read.parquet(state)
+           .where("op <> 'D'").collect()}
+    want = {(r.key, r.last_seq, r.value, r.event_type)
+            for r in compact_changelog(
+                spark.createDataFrame(drop1 + drop2 + drop3, schema))
+            .collect()}
+    assert got == want
+    assert (7,) not in {(k,) for k, *_ in got}  # ghost stayed dead
+
+    # rerun with nothing new: a no-op
+    incremental_cdc_state(spark, src + "/*", state, ckpt,
+                          schema=spark.createDataFrame([], schema).schema)
+    again = {(r.key, r.seq, r.value, r.event_type)
+             for r in spark.read.parquet(state)
+             .where("op <> 'D'").collect()}
+    assert again == want
+
+
 def test_duplicate_max_rows_are_deterministic(spark):
     # two rows tie on (seq, value, event_type, op) -> identical payloads,
     # any winner yields the same output row
