@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
-from ..registry import SQL, quantize, register, _t
+from ..registry import SQL, q_sql, quantize, register, _t
 
 DIM = 64
 N_PLANES = 12
@@ -201,7 +201,7 @@ def _topk_sql() -> str:
                   ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY c DESC, neighbor_id) AS rank
            FROM scored)
-    SELECT query_id, neighbor_id, rank
+    SELECT query_id, neighbor_id, rank, {q_sql('c', 3)} AS cos
     FROM ranked WHERE rank <= {TOPK}
     """
 
@@ -469,20 +469,29 @@ def sim_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch's physical shape is still pinned individually in
     tests/test_plans.py via the standalone functions."""
     exact = sim_topk_bruteforce(spark, sf_dir).select(
-        F.lit("exact").alias("method"), "query_id", "neighbor_id", "rank")
+        F.lit("exact").alias("method"), "query_id", "neighbor_id", "rank",
+        "cos")
+    # lsh/ivf never emitted a verified cosine (rank pins their ordering);
+    # the exact baseline's cos IS driver-verified (review finding: the fold
+    # must not drop a previously-verified column)
+    null_cos = F.lit(None).cast("double").alias("cos")
     lsh = sim_ann_lsh(spark, sf_dir).select(
-        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank")
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank",
+        null_cos)
     ivf = sim_ann_ivf(spark, sf_dir).select(
-        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank")
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank",
+        null_cos)
     return exact.unionByName(lsh).unionByName(ivf)
 
 
 SQL["sim_ann_methods"] = f"""
     SELECT 'exact' AS method, * FROM ({_topk_sql()})
     UNION ALL
-    SELECT 'lsh' AS method, * FROM ({_ann_sql()})
+    SELECT 'lsh' AS method, *, CAST(NULL AS DOUBLE) AS cos
+    FROM ({_ann_sql()})
     UNION ALL
-    SELECT 'ivf' AS method, * FROM ({_ivf_sql()})
+    SELECT 'ivf' AS method, *, CAST(NULL AS DOUBLE) AS cos
+    FROM ({_ivf_sql()})
     """
 
 

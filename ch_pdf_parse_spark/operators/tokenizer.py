@@ -82,23 +82,29 @@ def bpe_merges(hist: list[tuple[str, int]], k: int = BPE_MERGES
     return merges
 
 
-def word_histogram(docs: DataFrame, top: int = BPE_TOP_WORDS
-                   ) -> list[tuple[str, int]]:
-    """Distributed word histogram, capped deterministically: ONE map-side-
-    combined shuffle over words, then (count DESC, word ASC) top-V. Only
-    the capped histogram is collected."""
+def word_histogram_df(docs: DataFrame, top: int = BPE_TOP_WORDS
+                      ) -> DataFrame:
+    """The distributed stage as a DataFrame — ONE map-side-combined shuffle
+    over words, then the deterministic (count DESC, word ASC) top-V cap.
+    Single source of the query: word_histogram collects it, and the plan
+    audit / plan-pin test explain THIS builder (not a hand copy that could
+    drift from the operator)."""
     words = (
         docs.select(F.explode(F.split(F.coalesce("text", F.lit("")),
                                       " ")).alias("word"))
         .where(F.col("word") != "")
     )
-    rows = (
+    return (
         words.groupBy("word").agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("word").asc())
         .limit(top)
-        .collect()
     )
-    return [(r.word, r.n) for r in rows]
+
+
+def word_histogram(docs: DataFrame, top: int = BPE_TOP_WORDS
+                   ) -> list[tuple[str, int]]:
+    """Capped histogram, collected (only the top-V rows reach the driver)."""
+    return [(r.word, r.n) for r in word_histogram_df(docs, top).collect()]
 
 
 # lhs/rhs, not left/right: LEFT/RIGHT are SQL keywords in DuckDB and the
@@ -124,11 +130,14 @@ def _bpe_oracle_sql(sf_dir: str) -> str:
     """Independent recomputation of the expected merge table from the raw
     parquet (no Spark, no shared histogram code), emitted as a VALUES
     literal for DuckDB."""
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as ds
 
+    # stream record batches — pq.read_table would hold the whole text
+    # column in driver RAM at once (the same full-table-read shape the
+    # round-4 verdict flagged on the k-means codebook; review finding)
     counts: Counter = Counter()
-    table = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
-    for batch in table.to_batches():
+    dataset = ds.dataset(f"{sf_dir}/documents.parquet", format="parquet")
+    for batch in dataset.to_batches(columns=["text"]):
         for text in batch.column("text").to_pylist():
             for word in (text or "").split(" "):
                 if word:

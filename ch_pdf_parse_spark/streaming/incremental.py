@@ -116,12 +116,15 @@ def incremental_cdc_state(
     resurrect a deleted key across batches; readers take
     ``WHERE op <> 'D'``. Per batch the work is |state ∪ batch| — the
     incremental-view-maintenance shape: the raw changelog is never
-    re-scanned. The new state is written to a temp dir and swapped in
-    (never overwrite-while-reading — Spark reads lazily, so overwriting the
-    parquet a plan still scans corrupts the batch); production would be one
-    Iceberg MERGE commit instead of the swap."""
+    re-scanned. The new state is staged in a SIBLING directory and swapped
+    in by rename (never overwrite-while-reading — Spark reads lazily, so
+    overwriting parquet a plan still scans corrupts the batch; and never a
+    cross-filesystem move). A kill between the two renames leaves
+    `<state>.old`/`<state>.new` for manual recovery — the demo-grade
+    residue of not having a transactional table format; production is one
+    Iceberg MERGE commit."""
+    import os
     import shutil
-    import tempfile
 
     from ..operators.cdc import compact_keep_tombstones
 
@@ -130,17 +133,30 @@ def incremental_cdc_state(
     stream = spark.readStream.schema(schema).parquet(input_glob)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        try:
+        # first-batch detection by EXISTENCE only — a bare except here would
+        # turn any transient read error into "no prior state" and silently
+        # rebuild from one batch while the checkpoint marks earlier drops
+        # done (review finding, round 5); real errors must fail the batch so
+        # the checkpoint retries it
+        if os.path.exists(state_dir):
             state = spark.read.parquet(state_dir)
-        except Exception:
-            state = None
-        merged = (batch_df.unionByName(state.select(*batch_df.columns))
-                  if state is not None else batch_df)
+            merged = batch_df.unionByName(state.select(*batch_df.columns))
+        else:
+            merged = batch_df
         new_state = compact_keep_tombstones(merged)
-        tmp = tempfile.mkdtemp(prefix="cdc_state_")
+        # sibling staging dir: same filesystem, so the swap is two renames
+        # (never a cross-FS copy, and works beyond driver-local /tmp); the
+        # write fully materializes the lazy read of the OLD state before
+        # anything touches it
+        tmp = state_dir + ".new"
+        old = state_dir + ".old"
+        shutil.rmtree(tmp, ignore_errors=True)
         new_state.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(state_dir, ignore_errors=True)
-        shutil.move(tmp, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(state_dir):
+            os.rename(state_dir, old)
+        os.rename(tmp, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
 
     (
         stream.writeStream.foreachBatch(process)

@@ -4,10 +4,9 @@ count — never a full global sort)."""
 
 import os
 import re
-import tempfile
 
 from ch_pdf_parse_spark.operators.tokenizer import (
-    bpe_merges, tokenizer_bpe_train, word_histogram)
+    bpe_merges, tokenizer_bpe_train, word_histogram, word_histogram_df)
 
 # the classic BPE textbook corpus (Sennrich et al. 2016 example shape)
 _CORPUS = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
@@ -36,8 +35,8 @@ def _write_docs(spark, tmp):
      .write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet")))
 
 
-def test_operator_end_to_end_with_nulls(spark):
-    tmp = tempfile.mkdtemp(prefix="bpe_")
+def test_operator_end_to_end_with_nulls(spark, tmp_path):
+    tmp = str(tmp_path)
     _write_docs(spark, tmp)
     got = [(r.merge_rank, r.lhs, r.rhs, r.pair_count)
            for r in tokenizer_bpe_train(spark, tmp)
@@ -50,8 +49,8 @@ def test_operator_end_to_end_with_nulls(spark):
     ]
 
 
-def test_histogram_cap_is_deterministic(spark):
-    tmp = tempfile.mkdtemp(prefix="bpe_cap_")
+def test_histogram_cap_is_deterministic(spark, tmp_path):
+    tmp = str(tmp_path)
     _write_docs(spark, tmp)
     docs = spark.read.parquet(os.path.join(tmp, "documents.parquet"))
     # top-2 by (count DESC, word ASC): newest 6, low 5
@@ -66,13 +65,7 @@ def test_histogram_plan_is_topk_not_global_sort(spark):
     the shuffle narrow at 100 TB."""
     docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
             .select("text"))
-    from pyspark.sql import functions as F
-
-    words = (docs.select(F.explode(F.split(F.coalesce("text", F.lit("")),
-                                           " ")).alias("word"))
-             .where(F.col("word") != ""))
-    capped = (words.groupBy("word").agg(F.count("*").alias("n"))
-              .orderBy(F.col("n").desc(), F.col("word").asc()).limit(100))
+    capped = word_histogram_df(docs, top=100)
     jvm = spark._jvm
     plan = capped._jdf.queryExecution().explainString(
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

@@ -372,15 +372,10 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
         f"{n_ex} exchanges")
 
     # --- r5: BPE histogram caps via TopK, never a global sort -------------
-    import pyspark.sql.functions as _F
+    from ch_pdf_parse_spark.operators.tokenizer import word_histogram_df
 
     ddocs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    words = (ddocs.select(_F.explode(_F.split(
-        _F.coalesce("text", _F.lit("")), " ")).alias("word"))
-        .where(_F.col("word") != ""))
-    capped = (words.groupBy("word").agg(_F.count("*").alias("n"))
-              .orderBy(_F.col("n").desc(), _F.col("word").asc()).limit(100))
-    p = formatted_plan(capped)
+    p = formatted_plan(word_histogram_df(ddocs.select("text"), top=100))
     plans["tokenizer_bpe_histogram"] = p
     add("tokenizer_bpe_train", "histogram cap plans as TakeOrderedAndProject "
         "(per-partition partial top-V + partial_count; no global sort of "
