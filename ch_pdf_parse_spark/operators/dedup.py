@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..registry import quantize, register, _t
+from ..registry import q_sql, quantize, register, _t
 
 N_MINHASH = 16
 N_BANDS = 4  # 4 rows per band
@@ -391,11 +391,11 @@ def _jaccard_sql(threshold: float = 0.5, df_cap: int = NGRAM_DF_CAP) -> str:
                       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                     GROUP BY 1, 2)
     SELECT doc_a, doc_b,
-           CAST(CAST(CAST(CAST((shared / (na.n + nb.n - shared)) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS jaccard
+           {q_sql('shared / (na.n + nb.n - shared)', 4)} AS jaccard
     FROM shared
     JOIN sizes na ON na.doc_id = doc_a
     JOIN sizes nb ON nb.doc_id = doc_b
-    WHERE CAST(CAST(CAST(CAST((shared / (na.n + nb.n - shared)) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) >= {threshold}
+    WHERE {q_sql('shared / (na.n + nb.n - shared)', 4)} >= {threshold}
     """
 
 

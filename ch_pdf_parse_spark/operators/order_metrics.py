@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..registry import quantize, register, _t
+from ..registry import q_sql, quantize, register, _t
 
 
 def rank_correlation(df: DataFrame, group: str, x: str, y: str,
@@ -91,7 +91,7 @@ def rank_correlation(df: DataFrame, group: str, x: str, y: str,
 
 @register(
     "o_rank_correlation",
-    """
+    f"""
     WITH base AS (
       SELECT l_orderkey AS g, l_extendedprice AS x, l_quantity AS y,
              ROW_NUMBER() OVER (PARTITION BY l_orderkey
@@ -111,10 +111,10 @@ def rank_correlation(df: DataFrame, group: str, x: str, y: str,
            GROUP BY a.g)
     SELECT sp.g AS l_orderkey, sp.n,
            CASE WHEN sp.n >= 2
-                THEN CAST(CAST(CAST(CAST((1.0 - 6.0 * d2 / (sp.n * (sp.n * sp.n - 1))) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE)
+                THEN {q_sql('1.0 - 6.0 * d2 / (sp.n * (sp.n * sp.n - 1))', 6)}
            END AS spearman_rho,
            CASE WHEN sp.n >= 2
-                THEN CAST(CAST(CAST(CAST((2.0 * cd / (sp.n * (sp.n - 1))) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE)
+                THEN {q_sql('2.0 * cd / (sp.n * (sp.n - 1))', 6)}
            END AS kendall_tau
     FROM sp LEFT JOIN kd ON kd.g = sp.g
     """,

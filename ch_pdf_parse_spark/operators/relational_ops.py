@@ -88,14 +88,14 @@ def a_group_concat_empty_sep(spark, sf_dir):
                        OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
                   THEN 1 ELSE 0 END AS is_new
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
     ),
     s AS (
       SELECT user_id, event_id, value,
              -- BIGINT cast: DuckDB integer sum() yields HUGEINT, which exports
              -- via Arrow as decimal128(38,0) and hash-mismatches Spark's long
              CAST(sum(is_new) OVER (PARTITION BY user_id
-                                    ORDER BY ts NULLS FIRST, event_id
+                                    ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM t
     )
@@ -112,7 +112,11 @@ def a_session_merge(spark, sf_dir):
     # every null-ts row then opens a fresh session on both: its lag(ts) is
     # NULL (either partition head or a preceding null-ts row), as does the
     # first timestamped row after the null block
-    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_first("ts"), "event_id")
+    # event_id NULLS FIRST pinned too: Spark's bare ASC is nulls-first but
+    # DuckDB's is nulls-last, so a NULL tie-break key silently reorders the
+    # prefix between engines (gate seed 193, signed/NULL event-id dimension)
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_first("ts"), F.asc_nulls_first("event_id"))
     # fractional epoch seconds on both engines (events carry microseconds;
     # parquet timestamps load as TIMESTAMP_NTZ, which needs a 2-step cast)
     ep = F.col("ts").cast("timestamp").cast("double")
@@ -247,11 +251,11 @@ def a_markdown_fold(spark, sf_dir):
 
 @register(
     "x_scalar_funcs",
-    """
+    f"""
     SELECT p_partkey,
            string_split(p_type, ' ')[-1] AS last_word,
            '![](' || p_brand || ')' AS md_image,
-           CAST(CAST(CAST(CAST((sqrt(power(p_size, 2) + power(p_retailprice / 100, 2))) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS dist,
+           {q_sql("sqrt(p_size * p_size + (p_retailprice / 100) * (p_retailprice / 100))", 4)} AS dist,
            CAST(floor(p_size * (1024.0 / 50 - 0.00001)) AS BIGINT) AS scaled,
            substr(p_name, 1, greatest(length(p_name) - 4, 0)) AS stem
     FROM part
@@ -260,15 +264,21 @@ def a_markdown_fold(spark, sf_dir):
 def x_scalar_funcs(spark, sf_dir):
     """X1-X7 scalar functions: element_at(split)[-1] (X3), markdown image
     format (X2), Euclidean distance (X5), int truncation scaling (X7),
-    filename munging (X4)."""
+    filename munging (X4).
+
+    The distance squares via MULTIPLICATION, never pow(x, 2): libm pow is
+    not guaranteed exactly rounded even for integer exponents, and a 1-ulp
+    Java-vs-DuckDB pow difference landed exactly on the quantize boundary
+    of a hostile double (gate seed 197) — x*x is an exact IEEE product,
+    identical on both engines, and sqrt is correctly rounded by spec."""
     p = _t(spark, sf_dir, "part")
+    dx = F.col("p_size").cast("double")
+    dy = F.col("p_retailprice") / 100
     return p.select(
         "p_partkey",
         F.element_at(F.split("p_type", " "), -1).alias("last_word"),
         F.concat(F.lit("![]("), F.col("p_brand"), F.lit(")")).alias("md_image"),
-        quantize(F.sqrt(F.pow("p_size", F.lit(2))
-                        + F.pow(F.col("p_retailprice") / 100, F.lit(2))), 4)
-        .alias("dist"),
+        quantize(F.sqrt(dx * dx + dy * dy), 4).alias("dist"),
         F.floor(F.col("p_size") * (1024.0 / 50 - 0.00001)).cast("long").alias("scaled"),
         F.expr("substr(p_name, 1, greatest(length(p_name) - 4, 0))").alias("stem"),
     )

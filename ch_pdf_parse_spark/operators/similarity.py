@@ -311,7 +311,7 @@ def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                   {_duck_cos('a.v', 'b.v')} AS c
            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
-    SELECT vec_a, vec_b, CAST(CAST(CAST(CAST((c) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,2)) AS DOUBLE) AS cos
+    SELECT vec_a, vec_b, {q_sql('c', 2)} AS cos
     FROM pairs WHERE c > 0.95
     """,
 )

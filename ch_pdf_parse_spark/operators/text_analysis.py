@@ -322,7 +322,7 @@ def dom_main_content_cols(df: DataFrame) -> DataFrame:
            {_lang_sql("k.text")} AS lang_pred,
            length(k.text) AS n_chars2,
            len(l) AS n_tokens,
-           CAST(CAST(CAST(CAST((length(k.text) * 1.0 / greatest(len(l), 1)) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS avg_tok_len,
+           {q_sql('length(k.text) * 1.0 / greatest(len(l), 1)', 4)} AS avg_tok_len,
            CAST(CAST(CAST(CAST(({_stop_ratio_sql("l")}) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS stopword_ratio,
            CAST(CAST(CAST(CAST((len(regexp_extract_all(k.text, '[^A-Za-z0-9 ]')) * 1.0
                  / greatest(length(k.text), 1)) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS punct_ratio,
@@ -584,7 +584,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dups_removed,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            CAST(sum(n_pii) AS BIGINT) AS total_pii_masked,
-           CAST(CAST(CAST(CAST((sum(n_tokens) * 1.0 / count(*)) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,2)) AS DOUBLE) AS avg_tokens
+           {q_sql('sum(n_tokens) * 1.0 / count(*)', 2)} AS avg_tokens
     FROM deduped GROUP BY lang
     """,
 )

@@ -95,10 +95,30 @@ def quantize(col, scale: int = 4):
     return c.cast("double").cast(f"decimal(38,{scale})").cast("double")
 
 
+def _tiny_clamp(expr: str, scale: int, then: str, else_: str) -> str:
+    """Guard for a DuckDB VARCHAR→DECIMAL parser defect (gate seed 197):
+    exponent-form strings whose VALUE is far below the target scale's tie
+    are rounded by the MANTISSA's first digit — '9.9e-9' AS DECIMAL(38,4)
+    yields 0.0001 where the correct HALF_UP result is 0.0000 (and Spark's
+    BigDecimal correctly gives 0). Every double strictly inside
+    (|v| < 0.5·10^-scale) rounds to zero on a correct engine, so that
+    region short-circuits to literal zero; everything at or above the tie
+    keeps the proven VARCHAR hop (whose shortest-repr HALF_UP behavior
+    matches Spark bit-for-bit — see q_sql). NULL/NaN/Inf fall through to
+    the hop unchanged (abs(NULL) is NULL → CASE else; NaN/Inf raise on
+    both engines as before)."""
+    return (f"(CASE WHEN abs(CAST(({expr}) AS DOUBLE)) < 0.5e-{scale} "
+            f"THEN {then} ELSE {else_} END)")
+
+
 def dec_sql(expr: str, scale: int = 6) -> str:
     """DuckDB twin of Spark's ``cast(<double> as decimal(38,s))`` for oracle
-    SQL — via VARCHAR for the repr-HALF_UP tie behavior (see quantize)."""
-    return f"CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,{scale}))"
+    SQL — via VARCHAR for the repr-HALF_UP tie behavior (see quantize),
+    with the sub-tie region clamped to zero (_tiny_clamp)."""
+    return _tiny_clamp(
+        expr, scale,
+        f"CAST(0.0 AS DECIMAL(38,{scale}))",
+        f"CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,{scale}))")
 
 
 def exact_sum_sql(expr: str, scale: int = 6) -> str:
@@ -117,10 +137,15 @@ def q_sql(expr: str, scale: int = 4) -> str:
     the tie) they disagree by one ulp at the target scale (found by
     tools/adversarial_gate.py seed 31). DuckDB's double→VARCHAR emits the
     same shortest repr and its VARCHAR→decimal parse rounds HALF_UP, so the
-    string hop reproduces Spark bit-for-bit, including -0.0 normalization
-    and exponent-form reprs."""
-    return (f"CAST(CAST(CAST(CAST(({expr}) AS DOUBLE) AS VARCHAR) "
-            f"AS DECIMAL(38,{scale})) AS DOUBLE)")
+    string hop reproduces Spark bit-for-bit, including -0.0 normalization —
+    EXCEPT for exponent-form reprs far below the tie, where DuckDB's parser
+    rounds by mantissa digit; that region is clamped to zero by
+    _tiny_clamp (gate seed 197)."""
+    return _tiny_clamp(
+        expr, scale,
+        "CAST(0.0 AS DOUBLE)",
+        f"CAST(CAST(CAST(CAST(({expr}) AS DOUBLE) AS VARCHAR) "
+        f"AS DECIMAL(38,{scale})) AS DOUBLE)")
 
 
 def _sf_of_dir(sf_dir: str) -> float:
@@ -324,7 +349,7 @@ def p_bucket_coalesce(spark, sf_dir):
     f"""
     SELECT event_id, user_id,
            {q_sql(f'''CAST(SUM({dec_sql("value")})
-                 OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
+                 OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)''')}
              AS running_value
     FROM events
@@ -342,7 +367,7 @@ def a_window_cumsum(spark, sf_dir):
 
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc_nulls_first("ts"), "event_id")
+        .orderBy(F.asc_nulls_first("ts"), F.asc_nulls_first("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # decimal addends: DuckDB evaluates windowed sums with a segment tree, so

@@ -217,7 +217,14 @@ def generate(seed: int, out_dir: str) -> None:
       l_linestatus=_pick(rng, STATUS, n),
       l_shipdate=_ts(rng, n))
     n = 3000
-    w("events", event_id=pa.array(range(n), pa.int64()),
+    # signed + NULL event ids (round 5): engines agree on C-style % for
+    # negatives, but NULL/negative ids flow through modulo-derived keys
+    # (j_interval_overlap % 53, pipeline_cdc_compact % 5003/% 17) and
+    # window order keys — nothing policed that before
+    eids = [-i if (i % 9 == 0 and i > 0) else i for i in range(n)]
+    w("events", event_id=pa.array(
+        [None if x < 0.02 else eids[i]
+         for i, x in enumerate(rng.random(n))], pa.int64()),
       ts=_ts(rng, n),
       user_id=pa.array([None if x < 0.05 else int(v) for v, x in
                         # heavy skew: 40% of rows on one user
