@@ -236,8 +236,13 @@ def generate(seed: int, out_dir: str) -> None:
       props=_pick(rng, PROPS, n))
     n = 500
     texts = _pick(rng, NASTY_TEXT, n, 0.06)
+    # signed doc ids too (round 5, same rationale as event_id): ids feed
+    # modulo-derived injections (% 13 / % 21 / % 5), hash splits, and
+    # min()-keeper dedup — C-style % agrees across engines, but nothing
+    # verified that until ids could actually be negative
+    dids = [-i if (i % 11 == 0 and i > 0) else i for i in range(n)]
     w("documents",
-      doc_id=pa.array([None if x < 0.03 else i for i, x in
+      doc_id=pa.array([None if x < 0.03 else dids[i] for i, x in
                        zip(range(n), rng.random(n))], pa.int64()),
       text=texts, lang=_pick(rng, LANGS, n),
       source=_pick(rng, SOURCES, n),
