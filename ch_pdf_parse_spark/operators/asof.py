@@ -140,11 +140,16 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: str, ts: str,
     (key, bucket) window + two small aggregations; still zero Join nodes
     against the event streams themselves.
 
-    Bucket assignment uses unix_timestamp (second truncation — monotone in
-    ts, so boundary placement is exact); bucket_seconds trades carry-table
-    size against per-partition sort size and would be tuned to the key's
-    event rate at production scale."""
-    b = (F.unix_timestamp(F.col(ts)) / F.lit(bucket_seconds)).cast("long")
+    Bucket assignment uses floor(unix_timestamp / bucket_seconds) — floor,
+    not a truncating cast, so bucket boundaries stay uniform for pre-1970
+    timestamps too (a cast toward zero would merge buckets -1 and 0 into
+    one double-width bucket and shift every negative bucket; join results
+    would still be correct — the mapping stays monotone in ts, which is all
+    the carry logic needs — but the skew-spreading guarantee would quietly
+    degrade for pre-epoch data). bucket_seconds trades carry-table size
+    against per-partition sort size and would be tuned to the key's event
+    rate at production scale."""
+    b = F.floor(F.unix_timestamp(F.col(ts)) / F.lit(bucket_seconds)).cast("long")
     r = _tag_right(right, on, ts).withColumn("b", b)
     l = _tag_left(left, on, ts).withColumn("b", b)
 

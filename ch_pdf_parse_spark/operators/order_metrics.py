@@ -108,38 +108,65 @@ def rank_correlation(df: DataFrame, group: str, x: str, y: str,
            FROM r GROUP BY g),
     kd AS (SELECT a.g, sum(CASE WHEN b.ry > a.ry THEN 1 ELSE -1 END) AS cd
            FROM r a JOIN r b ON a.g = b.g AND a.rx < b.rx
-           GROUP BY a.g)
+           GROUP BY a.g),
+    d AS (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem),
+    pwd AS (SELECT l_orderkey, coalesce(l_linenumber, -1) AS ln,
+                   300 - ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                            ORDER BY l_linenumber NULLS FIRST)
+                     AS order_score
+            FROM d),
+    pw AS (SELECT l_orderkey,
+                  CAST(sum(order_score * ln) AS BIGINT) AS pw_chk1,
+                  CAST(sum(order_score * (ln * ln + 7)) AS BIGINT) AS pw_chk2
+           FROM pwd GROUP BY l_orderkey)
     SELECT sp.g AS l_orderkey, sp.n,
            CASE WHEN sp.n >= 2
                 THEN {q_sql('1.0 - 6.0 * d2 / (sp.n * (sp.n * sp.n - 1))', 6)}
            END AS spearman_rho,
            CASE WHEN sp.n >= 2
                 THEN {q_sql('2.0 * cd / (sp.n * (sp.n - 1))', 6)}
-           END AS kendall_tau
+           END AS kendall_tau,
+           pw.pw_chk1, pw.pw_chk2
     FROM sp LEFT JOIN kd ON kd.g = sp.g
+    LEFT JOIN pw ON pw.l_orderkey = sp.g
     """,
 )
 def o_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-quality metrics demo: how well does the price ordering agree
     with the quantity ordering within each order — the exact agg the
-    reference's eval computes between predicted and gold reading order."""
-    return rank_correlation(
+    reference's eval computes between predicted and gold reading order.
+
+    Round-6 fold (roster slot freed for dedup_substring): the former
+    standalone ``m3b_pairwise_rank`` entry rides along as two per-group
+    checksum columns — the Spark side computes order_score via the PAIRWISE
+    win-count formulation (m3b_pairwise_rank below, unchanged) while the
+    oracle computes it via the DIRECT window ranking, so the driver hash
+    still proves the two formulations agree (two independent weighted
+    moments of the score↔linenumber assignment; any permutation error
+    perturbs at least one). Full-grain row-for-row equality stays pinned in
+    tests/test_order_metrics.py."""
+    rc = rank_correlation(
         _t(spark, sf_dir, "lineitem"),
         "l_orderkey", "l_extendedprice", "l_quantity", "l_linenumber")
+    scores = m3b_pairwise_rank(spark, sf_dir)
+    ln = F.coalesce(F.col("l_linenumber").cast("long"), F.lit(-1))
+    pw = scores.groupBy("l_orderkey").agg(
+        F.sum(F.col("order_score") * ln).cast("long").alias("pw_chk1"),
+        F.sum(F.col("order_score") * (ln * ln + 7)).cast("long")
+        .alias("pw_chk2"))
+    # plain-equality left join, matching the oracle's: the NULL-orderkey
+    # group keeps NULL checksums on both engines (kd-join precedent above)
+    return rc.join(pw, "l_orderkey", "left")
 
 
-@register(
-    "m3b_pairwise_rank",
-    # the DIRECT ranking (o_order_reversal's expression): hash equality at the
-    # driver proves the pairwise formulation reproduces it row-for-row
-    """
-    SELECT l_orderkey, l_linenumber,
-           300 - ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                                    ORDER BY l_linenumber NULLS FIRST)
-             AS order_score
-    FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
-    """,
-)
+# The DIRECT ranking (o_order_reversal's window expression,
+#   300 - ROW_NUMBER() OVER (PARTITION BY l_orderkey
+#                            ORDER BY l_linenumber NULLS FIRST)
+# over DISTINCT (l_orderkey, l_linenumber)) is this pairwise formulation's
+# oracle. Standalone driver entry until round 6; now folded into
+# o_rank_correlation's pw_chk columns (aggregated grain, still Spark-pairwise
+# vs oracle-direct) — full-grain row-for-row equality stays pinned in
+# tests/test_order_metrics.py.
 def m3b_pairwise_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3b: the pairwise-comparison ranking variant (SURVEY §2.4;
     layoutlmv3_modeling.py:1804-1877 scores every ordered segment pair and

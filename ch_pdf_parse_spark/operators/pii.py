@@ -176,9 +176,11 @@ def inject_textkeyed_sql(expr: str) -> str:
 
 def scrub_pii(body: DataFrame) -> DataFrame:
     """(doc_id, body) → counts per PII class + fully masked text."""
+    # cast('long'): DuckDB's len() is BIGINT while F.size is INT — same
+    # int-width convention as text_profile's token counts
     counts = [
         F.size(F.regexp_extract_all("body", F.lit(pat), F.lit(0)))
-        .alias(f"n_{name}")
+        .cast("long").alias(f"n_{name}")
         for pat, name in ((EMAIL_RE, "email"), (PHONE_RE, "phone"),
                           (IP_RE, "ip"), (SSN_RE, "ssn"))
     ]

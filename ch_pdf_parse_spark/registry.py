@@ -563,6 +563,7 @@ def _load_operator_modules() -> None:
     earlier one registers with its dependent — e.g. dedup registers during
     text_analysis's import — which is fine: those are the stable core.)"""
     from .operators import (  # noqa: F401
+        substring,
         tokenizer,
         cdc,
         asof,

@@ -119,10 +119,12 @@ def incremental_cdc_state(
     re-scanned. The new state is staged in a SIBLING directory and swapped
     in by rename (never overwrite-while-reading — Spark reads lazily, so
     overwriting parquet a plan still scans corrupts the batch; and never a
-    cross-filesystem move). A kill between the two renames leaves
-    `<state>.old`/`<state>.new` for manual recovery — the demo-grade
-    residue of not having a transactional table format; production is one
-    Iceberg MERGE commit."""
+    cross-filesystem move). A kill between the two renames leaves state
+    parked at `<state>.old`; the retried batch detects that shape (state
+    missing, `.old` present) and restores it by rename before compacting,
+    so the automatic retry resumes from the backed-up state rather than
+    rebuilding from one batch — the demo-grade stand-in for not having a
+    transactional table format; production is one Iceberg MERGE commit."""
     import os
     import shutil
 
@@ -133,6 +135,15 @@ def incremental_cdc_state(
     stream = spark.readStream.schema(schema).parquet(input_glob)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # crash-window recovery FIRST: a kill between the two swap renames
+        # below leaves state renamed away to `.old` with `.new` not yet
+        # promoted — if the retry didn't restore it, first-batch detection
+        # would treat the batch as the first ever AND the swap's
+        # rmtree(old) would destroy the sole surviving copy of prior state
+        # (review finding, round 6)
+        old = state_dir + ".old"
+        if not os.path.exists(state_dir) and os.path.exists(old):
+            os.rename(old, state_dir)
         # first-batch detection by EXISTENCE only — a bare except here would
         # turn any transient read error into "no prior state" and silently
         # rebuild from one batch while the checkpoint marks earlier drops
@@ -149,7 +160,6 @@ def incremental_cdc_state(
         # write fully materializes the lazy read of the OLD state before
         # anything touches it
         tmp = state_dir + ".new"
-        old = state_dir + ".old"
         shutil.rmtree(tmp, ignore_errors=True)
         new_state.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(old, ignore_errors=True)

@@ -22,8 +22,9 @@ def _cmod(a: int, m: int) -> int:
     """C-style (truncating) modulo — what Spark's % and DuckDB's % compute.
     Python's % is floor-mod and disagrees for negative dividends
     (-1 % 5003 = 5002 in Python, -1 in Spark/DuckDB); the third
-    implementation must implement the engines' contract, not Python's."""
-    return a - int(a / m) * m
+    implementation must implement the engines' contract, not Python's.
+    Integer-only (no float division) so it stays exact past 2**53."""
+    return a % m if a >= 0 else -((-a) % m)
 
 
 def test_matches_pure_python_fold_on_driver_table(spark):
@@ -176,3 +177,53 @@ def test_duplicate_max_rows_are_deterministic(spark):
         (1, 5, "U", 1.5, "a"),
     ])
     assert out == {1: (5, 1.5, "a")}
+
+
+def test_crash_between_swap_renames_recovers_prior_state(spark, tmp_path):
+    """Simulate a driver kill in the swap's crash window — state renamed
+    away to `.old`, replacement not yet promoted — and prove the retried
+    batch restores the backup instead of silently rebuilding from one batch
+    (which would also rmtree the sole surviving copy; review finding r6).
+    The checkpoint replays the not-yet-committed batch, so after recovery
+    the state must equal the uninterrupted run's."""
+    import os
+    import shutil
+
+    from ch_pdf_parse_spark.streaming.incremental import incremental_cdc_state
+
+    schema = ("key long, seq long, op string, value double, "
+              "event_type string")
+    drop1 = [(1, 10, "U", 1.0, "a"), (7, 50, "D", None, None)]
+    drop2 = [(7, 10, "U", 9.0, "ghost"), (2, 5, "U", 2.0, "b")]
+
+    src = str(tmp_path / "cdc_in")
+    state = str(tmp_path / "cdc_state")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    os.makedirs(src)
+
+    sch = spark.createDataFrame([], schema).schema
+
+    spark.createDataFrame(drop1, schema).write.parquet(src + "/drop1")
+    incremental_cdc_state(spark, src + "/*", state, ckpt, schema=sch)
+
+    # crash window: drop2's files are visible but its batch never
+    # committed (we snapshot the checkpoint BEFORE running it), and the
+    # previous state sits parked at `.old` with state_dir gone
+    ckpt_snapshot = str(tmp_path / "ckpt_snap")
+    shutil.copytree(ckpt, ckpt_snapshot)
+    spark.createDataFrame(drop2, schema).write.parquet(src + "/drop2")
+    os.rename(state, state + ".old")
+
+    # the retry (fresh run against the snapshotted checkpoint) must first
+    # restore `.old` -> state, then fold drop2 into it
+    shutil.rmtree(ckpt)
+    shutil.copytree(ckpt_snapshot, ckpt)
+    incremental_cdc_state(spark, src + "/*", state, ckpt, schema=sch)
+
+    got = {r.key: (r.seq, r.op) for r in spark.read.parquet(state).collect()}
+    # key 1 survived the crash; key 7's tombstone survived (ghost stayed
+    # dead — impossible if the retry had rebuilt from drop2 alone)
+    assert got[1] == (10, "U")
+    assert got[7] == (50, "D")
+    assert got[2] == (5, "U")
+    assert not os.path.exists(state + ".old")

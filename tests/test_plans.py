@@ -312,3 +312,28 @@ def test_pack_sequences_single_bucket_exchange(spark):
         r"\(\d+\) Exchange\n(?:Input[^\n]*\n)?Arguments: hashpartitioning\(([^,]*)",
         plan)
     assert len(ex) == 1 and ex[0].startswith("bucket"), (ex, plan)
+
+
+def test_substring_dedup_shuffles_ints_only(spark):
+    """Exact-substring dedup's scale contract: every Exchange carries int64
+    anchor columns only — the shingle STRING is hashed map-side and neither
+    it nor the document text ever shuffles; no pair explosion (equi-join on
+    h, never nested-loop/cartesian); and the final span aggregation reuses
+    the island window's doc_id partitioning (no exchange between them)."""
+    from ch_pdf_parse_spark.operators.substring import dedup_substring
+
+    plan = _formatted(dedup_substring(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # every Exchange block's input is free of string payloads
+    for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]",
+                         plan):
+        cols = m.group(1)
+        assert "shingle" not in cols and "text" not in cols, plan
+    # Window(doc_id) -> ... -> HashAggregate(doc_id, grp) with no exchange
+    # in between: hashpartitioning(doc_id) satisfies the (doc_id, grp)
+    # clustering, so the span merge is free
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    win = re.search(r"Window \(\d+\)", tree)
+    agg_above = tree[:win.start()]
+    assert "Exchange" not in agg_above.split("HashAggregate")[-1]
