@@ -284,7 +284,7 @@ def main() -> None:
         spark = get_spark("bench-recall", cores=CPUS, shuffle_partitions=32)
         try:
             from ch_pdf_parse_spark.operators.similarity import (
-                ivf_kmeans_point, sim_ann_lsh)
+                ivf_kmeans_point, sim_ann_ivf, sim_ann_lsh)
 
             extras["recall_at_3"] = {
                 "ivf_kmeans": recall(ivf_kmeans_point(spark, SF_DIR).collect(),
@@ -294,6 +294,12 @@ def main() -> None:
                     ivf_kmeans_point(spark, SF_DIR, n_probe=4).collect(),
                     want),
                 "lsh": recall(sim_ann_lsh(spark, SF_DIR).collect(), want),
+                # the fixed ±1-codebook IVF (sim_ann_methods' third branch):
+                # kept as the codebook-ablation baseline vs ivf_kmeans —
+                # reported so the branch carries fresh evidence every round
+                # instead of riding on its r3 number (round-5 verdict nit)
+                "ivf_fixed_codebook": recall(
+                    sim_ann_ivf(spark, SF_DIR).collect(), want),
             }
             # the clustered regime (where the codebook's density-following
             # actually pays) — same two operating points on the deterministic

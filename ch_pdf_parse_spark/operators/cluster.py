@@ -49,15 +49,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..registry import SQL, register, _t
 from .dedup import (
     DUP_CORPUS_SQL,
+    N_MINHASH,
     portable_hash,
     _jaccard_sql,
     _minhash_sql,
     _simhash_sql,
+    fused_doc_signatures,
     lsh_candidate_pairs,
-    minhash_signatures,
     ngram_jaccard_pairs,
     shingles,
-    simhash,
+    simhash_from_sums,
     simhash_pairs,
     with_dup_corpus,
 )
@@ -65,18 +66,28 @@ from .dedup import (
 MAX_CC_ITERS = 48
 
 
-def candidate_pairs_union(sh: DataFrame) -> DataFrame:
+def candidate_pairs_union(sh: DataFrame, fused: DataFrame) -> DataFrame:
     """(doc_a, doc_b) — union of the three text detectors' candidate pairs
-    over one shared shingle table (persisted once: Catalyst will not reuse a
-    subtree across branches that aggregate it differently, so without the
-    persist the scan+explode+distinct would run three times). The caller MUST
-    pass ``sh`` (shingles(corpus), persisted) and own its persist/unpersist
-    lifecycle: an sh default that persisted internally leaked one cache entry
-    per call, and Spark's cache manager silently substitutes a leaked cached
-    subtree into OTHER queries' plans, defeating their AQE exchange reuse
-    (test_cluster.py pinned exactly that failure; round-4 advice)."""
-    p_min = lsh_candidate_pairs(minhash_signatures(sh))
-    p_sim = simhash_pairs(simhash(sh)).select("doc_a", "doc_b")
+    over one shared shingle table plus one fused per-doc signature table.
+
+    The caller MUST pass ``sh`` (shingles(corpus) with the ``h`` hash
+    column, persisted) and ``fused`` (``fused_doc_signatures(sh)``,
+    persisted) and own both persist/unpersist lifecycles: an internal
+    persist leaked one cache entry per call, and Spark's cache manager
+    silently substitutes a leaked cached subtree into OTHER queries' plans,
+    defeating their AQE exchange reuse (test_cluster.py pinned exactly that
+    failure; round-4 advice).
+
+    Why ``fused`` exists (round-6): the executed union plan showed
+    ReusedExchange never fires across the union — minhash's and simhash's
+    doc-level aggregations each ran twice (both self-join sides) from the
+    shingle cache, four md5/bit-sum passes total. With the fused table
+    persisted, minhash bands and simhash chunks are cheap projections of an
+    n_docs-row cache and the shingle cache is scanned only by the
+    aggregation itself (once) and by jaccard."""
+    p_min = lsh_candidate_pairs(
+        fused.select("doc_id", *[f"m{i}" for i in range(N_MINHASH)]))
+    p_sim = simhash_pairs(simhash_from_sums(fused)).select("doc_a", "doc_b")
     p_jac = ngram_jaccard_pairs(sh).select("doc_a", "doc_b")
     return p_min.unionByName(p_sim).unionByName(p_jac)
 
@@ -210,21 +221,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_keeper), keeper = min doc_id per connected component."""
     corpus = with_dup_corpus(_t(spark, sf_dir, "documents"))
     nodes = corpus.select("doc_id").distinct()
-    # persist the shared shingle table WITH its unsalted portable hash: the
-    # simhash detector consumes the column instead of re-running md5 over
-    # every cached shingle (r4 verdict #6; minhash/jaccard prune it — their
-    # salted hashes / string join keys can't reuse it). Measured attribution
-    # (tools/bench_detectors.py, sf0.1, interleaved): the three detectors
-    # cost ~2.8-3.2 s EACH from the shared cache; the shared-hash delta is
-    # within noise (min 2.051 vs 2.029 s) because simhash's wall is its
-    # 60-bit-sum aggregation, not the md5 pass — kept as the principled
-    # hash-once shape, recorded as a null result, no win claimed.
+    # persist the shared shingle table WITH its unsalted portable hash (the
+    # simhash bit sums consume the column instead of re-running md5 per
+    # shingle; r4 verdict #6), AND the fused per-doc signature table on top
+    # of it (r6: one doc_id aggregation computing minhash mins + simhash
+    # sums together — see candidate_pairs_union's docstring for the
+    # executed-plan evidence that the unfused shape ran the signature
+    # pipelines four times).
     sh = (shingles(corpus)
           .withColumn("h", portable_hash(F.col("shingle"))).persist())
-    out = resolve_clusters(nodes, candidate_pairs_union(sh))
+    fused = fused_doc_signatures(sh).persist()
+    out = resolve_clusters(nodes, candidate_pairs_union(sh, fused))
     # safe: resolve_clusters returns localCheckpoint-backed labels, which no
-    # longer reference the shingle subtree
+    # longer reference the shingle or signature subtrees
     sh.unpersist()
+    fused.unpersist()
     return out
 
 
@@ -240,10 +251,12 @@ def pipeline_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     component loop or any exchange wider than (id, count)."""
     corpus = with_dup_corpus(_t(spark, sf_dir, "documents"))
     nodes = corpus.select("doc_id").distinct()
-    sh = (shingles(corpus)  # + hash column, as in dedup_clusters
+    sh = (shingles(corpus)  # + hash column + fused table, as in dedup_clusters
           .withColumn("h", portable_hash(F.col("shingle"))).persist())
-    clusters = resolve_clusters(nodes, candidate_pairs_union(sh))
+    fused = fused_doc_signatures(sh).persist()
+    clusters = resolve_clusters(nodes, candidate_pairs_union(sh, fused))
     sh.unpersist()
+    fused.unpersist()
     tokens = corpus.select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
     per_cluster = clusters.groupBy("cluster_id").agg(

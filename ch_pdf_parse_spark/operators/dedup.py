@@ -126,12 +126,40 @@ SHINGLES_SQL = """
 # ---------------------------------------------------------------------------
 
 
+def _minhash_aggs() -> list:
+    return [F.min(portable_hash(F.col("shingle"), str(i))).alias(f"m{i}")
+            for i in range(N_MINHASH)]
+
+
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """doc_id → m0..m{N-1}: min over shingles of salted portable hash.
     Partial (map-side) min aggregation — one narrow shuffle on doc_id."""
-    aggs = [F.min(portable_hash(F.col("shingle"), str(i))).alias(f"m{i}")
-            for i in range(N_MINHASH)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*_minhash_aggs())
+
+
+def fused_doc_signatures(sh: DataFrame) -> DataFrame:
+    """doc_id → (m0..m15, s0..s59): the minhash mins AND the simhash bit
+    sums in ONE aggregation over the shared shingle table (round-6 verdict
+    item #3). Rationale, read off the executed union plan
+    (BENCH/clusters_head.finalplan.txt): in the 3-detector composition the
+    minhash and simhash doc-level aggregations each scan the persisted
+    shingle table separately AND each self-join's b-side recomputes its
+    whole signature pipeline — ReusedExchange does not fire across the
+    union (0 reuses in the final plan), so the shingle cache was walked
+    4× with an md5/bit-sum pass each time. Fusing the two aggregations and
+    PERSISTING the result (tiny: one 77-int row per doc) turns those four
+    pipeline executions into four scans of an n_docs-row cache. Values are
+    identical by construction — same agg expressions, grouped on the same
+    key. Caller owns the persist/unpersist lifecycle (same doctrine as the
+    ``sh`` parameter)."""
+    if "h" not in sh.columns:
+        sh = sh.withColumn("h", portable_hash(F.col("shingle")))
+    bit_sums = [  # textually identical to simhash()'s sums
+        F.sum(F.when(F.expr(f"(h >> {j}) & 1") == 1, 1)
+              .otherwise(-1)).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    return sh.groupBy("doc_id").agg(*_minhash_aggs(), *bit_sums)
 
 
 def lsh_candidate_pairs(sig: DataFrame,
@@ -243,7 +271,13 @@ def simhash(sh: DataFrame) -> DataFrame:
         F.sum(F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
-    agg = withbits.groupBy("doc_id").agg(*bit_sums)
+    return simhash_from_sums(withbits.groupBy("doc_id").agg(*bit_sums))
+
+
+def simhash_from_sums(agg: DataFrame) -> DataFrame:
+    """(doc_id, s0..s59, ...) → (doc_id, simhash): the sign-fold half of
+    ``simhash``, split out so ``fused_doc_signatures`` consumers can derive
+    the simhash value from the already-aggregated bit sums."""
     sim = sum(
         (F.when(F.col(f"s{j}") >= 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
          * F.lit(1 << j).cast("bigint"))

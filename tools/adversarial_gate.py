@@ -62,7 +62,41 @@ NASTY_TEXT = [
     "a b c d e f g h a b c d",
     "the the the of of and and in in is is a",
     "tokens with [1] markers and the [2,3] citation of a set",
+    # unicode-normalization dimension (round 6): NFC and NFD spellings of
+    # the SAME visible string, zero-width/BOM/word-joiner code points inside
+    # and between tokens, stacked combining marks, and composed vs
+    # decomposed Hangul. Neither engine normalizes (both operate on code
+    # points), so shingles/tokens/fingerprints must treat the NFC and NFD
+    # twins as DIFFERENT — any divergence means one path (Java regex vs
+    # RE2/DuckDB vs Python kernel) normalized or dropped a mark where the
+    # others didn't. Multi-token so the shingle operators actually consume
+    # them.
+    "café au lait the café of the café again",        # NFC
+    "café au lait the café of the café again",     # NFD twin
+    "zero​width the zero​width split of a token stream",
+    "﻿bom led text with the usual stopword filler words here",
+    "joined⁠words and ‌non joiner marks in the middle set",
+    "á̂̃ stacked marks over the base of the set",
+    "한글 composed and the same words repeated here",        # 한글 NFC
+    "한글 decomposed and the same "
+    "words repeated here",                                           # NFD twin
 ]
+
+# guard: the NFC/NFD twin pairs above must stay DISTINCT code-point
+# sequences (an editor/tool round-trip that re-normalizes source literals
+# would silently collapse them and the dimension would test nothing)
+import unicodedata as _ud  # noqa: E402
+
+_nfc_cafe = [s for s in NASTY_TEXT if s.startswith("caf")]
+assert len(_nfc_cafe) == 2 and _nfc_cafe[0] != _nfc_cafe[1] \
+    and _ud.normalize("NFC", _nfc_cafe[1]) == _nfc_cafe[0], \
+    "NFD café twin was normalized away"
+_hangul = [s for s in NASTY_TEXT if "composed and the same" in s]
+assert len(_hangul) == 2 and _hangul[0] != _hangul[1] \
+    and _ud.normalize("NFD", _hangul[0]).split()[0] == _hangul[1].split()[0], \
+    "NFD Hangul twin was normalized away"
+assert any("​" in s for s in NASTY_TEXT), "zero-width literal lost"
+assert any("﻿" in s for s in NASTY_TEXT), "BOM literal lost"
 
 LANGS = ["zh", "en", "de", None, "", "zz", "ZH"]
 SOURCES = ["crawl", "pdf", "api", None, "", "曝"]
@@ -222,6 +256,20 @@ def generate(seed: int, out_dir: str) -> None:
     # (j_interval_overlap % 53, pipeline_cdc_compact % 5003/% 17) and
     # window order keys — nothing policed that before
     eids = [-i if (i % 9 == 0 and i > 0) else i for i in range(n)]
+    # duplicate (key, seq) dimension (round 6): every 13th row REUSES a
+    # small id pool, so pipeline_cdc_compact sees multiple changes with the
+    # IDENTICAL (key=id%5003, seq=id) but DIFFERENT payloads (value,
+    # event_type, props are drawn independently below) — the exact case the
+    # flag+value ordering struct exists for: the winner must be decided by
+    # the payload tie-break, identically in both engines, never by
+    # partition order. The pool includes a negative id and 0 so the C-style
+    # % path is hit too; duplicate ids also flow into the window/interval
+    # queries' order keys (their tie-breaks must likewise be total).
+    _dup_pool = [42, -42, 0, 17, 5003]
+    eids = [
+        _dup_pool[i % len(_dup_pool)] if (i % 13 == 5) else eids[i]
+        for i in range(n)
+    ]
     w("events", event_id=pa.array(
         [None if x < 0.02 else eids[i]
          for i, x in enumerate(rng.random(n))], pa.int64()),
