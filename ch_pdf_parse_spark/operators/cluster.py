@@ -64,6 +64,9 @@ from .dedup import (
 )
 
 MAX_CC_ITERS = 48
+# ~50 B/edge row → ~1M rows ≈ the 64 MB AQE advisory partition size; the
+# checkpointed-edge coalesce target in resolve_clusters derives from it
+_EDGE_ROWS_PER_PART = 1_000_000
 
 
 def candidate_pairs_union(sh: DataFrame, fused: DataFrame) -> DataFrame:
@@ -132,6 +135,25 @@ def resolve_clusters(nodes: DataFrame, pairs: DataFrame,
     # produce `pairs` are the expensive part, and a lazy handle would re-run
     # them inside the first round's (multi-branch) plan
     n_edges = edges.count()
+
+    def _sized(e: DataFrame, n: int) -> DataFrame:
+        # Size the checkpointed edge set's partitioning to its ROW COUNT
+        # (which the fixpoint loop measures every round anyway). The
+        # checkpoint is a leaf scan downstream — AQE coalesces shuffle
+        # READS, never leaf partitions — so without this every round's ~6
+        # stages each launch one map task per checkpoint partition: at
+        # spark.sql.shuffle.partitions=128 over a few-thousand-edge sf0.1
+        # set that is ~6 k near-empty tasks per query (measured 2.7× wall:
+        # 21 s → 7.7 s warm at 32 cores; AQE parallelismFirst=false was
+        # measured to recover none of it, pinning the mechanism on the leaf
+        # side). coalesce() is narrow on an already-checkpointed RDD and a
+        # no-op when the target ≥ current partitioning, so at 10^12-doc
+        # scale (billions of edges) the conf-sized partitioning is kept.
+        target = max(1, min(int(e.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions")), n // _EDGE_ROWS_PER_PART + 1))
+        return e.coalesce(target)
+
+    edges = _sized(edges, n_edges)
     rounds = 0
     while n_edges > 0 and rounds < max_iters:
         rounds += 1
@@ -151,6 +173,7 @@ def resolve_clusters(nodes: DataFrame, pairs: DataFrame,
                  .unionByName(mins2.select("src", F.col("m").alias("dst"))))
         new_edges = _symmetrize(small).localCheckpoint(eager=False)
         new_count = new_edges.count()
+        new_edges = _sized(new_edges, new_count)
         # exact fixpoint check (sets, so ⊆ + equal cardinality ⇔ equal);
         # no hash-sum shortcut — a collision would silently stop early
         if new_count == n_edges and new_edges.exceptAll(edges).isEmpty():

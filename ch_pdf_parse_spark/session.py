@@ -43,6 +43,20 @@ def get_spark(
         # 30% (giant batches kill pipelining) — don't chase it higher.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # AQE is OFF for cached-plan subtrees unless this is set (Spark
+        # keeps cached output partitioning stable by default so existing
+        # cache entries stay reusable). This engine persists shared
+        # intermediates precisely in its widest compositions (shingle +
+        # fused-signature tables under the dedup detectors, the two
+        # relational-twin intermediates), so with the default every stage
+        # under a persist runs at the full initial shuffle partition count
+        # — measured round 6 on dedup_clusters at local[32]/128 partitions
+        # over sf0.1: 21 s warm with the default, 8.3-9.7 s with this on
+        # (the 128 near-empty reduce tasks per detector stage collapse),
+        # matching what hard-coding shuffle.partitions=16 achieves while
+        # keeping the scale-correct high initial partitioning.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         # heap must cover (concurrent scan tasks x reader-batch bytes): the
         # nested spans rows are wide, so a 32-way scan of an oversized-doc
         # corpus OOM'd the vectorized reader at 8g ("Cannot reserve additional

@@ -167,7 +167,13 @@ def _parse_shard_columnar(data: bytes) -> _Columns:
     Corruption contract: a record whose CRC or structure fails is skipped
     (its partial appends rolled back) by scanning to the next SYNC marker; a
     truncated tail / missing footer adds one corrupt count and stops. Never
-    raises on hostile bytes."""
+    raises on hostile bytes.
+
+    The span-field loop is unrolled (kind/text/media_ref written out
+    instead of a `for lst in (kinds, texts, medias)` tuple loop) with
+    `list.append` bound to locals: measured 1.54× single-thread over the
+    looped twin on the bench-shaped shard (tools/bench_wire_parse.py, which
+    keeps the looped variant as the pinned-identical baseline)."""
     out = _Columns()
     if data[:4] != MAGIC:
         out.corrupt = 1
@@ -175,6 +181,9 @@ def _parse_shard_columnar(data: bytes) -> _Columns:
     u32, i32 = _U32.unpack_from, _I32.unpack_from
     find = data.find
     kinds, texts, medias, offs = out.kinds, out.texts, out.medias, out.offs
+    kapp, tapp, mapp, oapp = (kinds.append, texts.append, medias.append,
+                              offs.append)
+    doc_app, cnt_app = out.doc_ids.append, out.counts.append
     end = len(data)
     i = 4
     while i < end:
@@ -222,28 +231,55 @@ def _parse_shard_columnar(data: bytes) -> _Columns:
                     if n_spans > plen:  # a span is ≥15 bytes; sanity bound
                         raise ValueError("bad span count")
                     for _ in range(n_spans):
-                        for lst in (kinds, texts, medias):
-                            if pos + 4 > pend:
-                                raise ValueError("truncated")
-                            n = u32(data, pos)[0]
-                            pos += 4
-                            if n == NULL32:
-                                lst.append(None)
-                            else:
-                                if pos + n > pend:
-                                    raise ValueError("bad string length")
-                                lst.append(data[pos:pos + n].decode("utf-8"))
-                                pos += n
+                        # kind
+                        if pos + 4 > pend:
+                            raise ValueError("truncated")
+                        n = u32(data, pos)[0]
+                        pos += 4
+                        if n == NULL32:
+                            kapp(None)
+                        else:
+                            e = pos + n
+                            if e > pend:
+                                raise ValueError("bad string length")
+                            kapp(data[pos:e].decode("utf-8"))
+                            pos = e
+                        # text
+                        if pos + 4 > pend:
+                            raise ValueError("truncated")
+                        n = u32(data, pos)[0]
+                        pos += 4
+                        if n == NULL32:
+                            tapp(None)
+                        else:
+                            e = pos + n
+                            if e > pend:
+                                raise ValueError("bad string length")
+                            tapp(data[pos:e].decode("utf-8"))
+                            pos = e
+                        # media_ref
+                        if pos + 4 > pend:
+                            raise ValueError("truncated")
+                        n = u32(data, pos)[0]
+                        pos += 4
+                        if n == NULL32:
+                            mapp(None)
+                        else:
+                            e = pos + n
+                            if e > pend:
+                                raise ValueError("bad string length")
+                            mapp(data[pos:e].decode("utf-8"))
+                            pos = e
+                        # offset: 1 presence byte + 4-byte little-endian i32
                         if pos + 5 > pend:
                             raise ValueError("truncated")
-                        offs.append(i32(data, pos + 1)[0]
-                                    if data[pos] else None)
+                        oapp(i32(data, pos + 1)[0] if data[pos] else None)
                         pos += 5
                     cnt = n_spans
                 if pos != pend:
                     raise ValueError("trailing bytes in payload")
-                out.doc_ids.append(doc_id)
-                out.counts.append(cnt)
+                doc_app(doc_id)
+                cnt_app(cnt)
                 i = pend + 4
                 continue
             except (ValueError, UnicodeDecodeError):

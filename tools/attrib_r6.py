@@ -59,7 +59,14 @@ def sample_clusters(repo: str, plans_file: str | None) -> dict:
     from ch_pdf_parse_spark.operators.cluster import dedup_clusters
     from ch_pdf_parse_spark.session import get_spark
 
-    spark = get_spark("attrib-clusters", cores=32, shuffle_partitions=128)
+    # ATTRIB_CORES: the fused-signature A/B (round 6) needs a saturated-CPU
+    # regime — at local[32] over the sf0.1 table the box is underloaded and
+    # duplicated pipeline executions ride free parallelism, hiding the work
+    # difference the fusion removes. cores=4 makes CPU the bottleneck, the
+    # regime a loaded 1000-executor cluster is actually in.
+    cores = int(os.environ.get("ATTRIB_CORES", "32"))
+    spark = get_spark("attrib-clusters", cores=cores,
+                      shuffle_partitions=4 * cores)
     try:
         walls = []
         for _ in range(2):

@@ -8,10 +8,12 @@ candidate variants on one synthetic shard shaped like the bench corpus
 variant's win/loss is attributable before touching the production codec.
 
 Variants:
-* prod      — sources/wireformat._parse_shard_columnar as shipped
-* unrolled  — identical semantics, span-field loop unrolled with locally
-              bound list.append (no (kinds, texts, medias) tuple loop, no
-              per-field try-scope changes)
+* prod            — sources/wireformat._parse_shard_columnar as shipped
+                    (round 6: span-field loop unrolled, appends locally
+                    bound — promoted after this tool measured it 1.54×)
+* looped_baseline — the pre-round-6 tuple-loop parser, kept verbatim as
+                    the identical-output baseline the promotion is
+                    re-validated against every run
 
 Usage: python tools/bench_wire_parse.py [n_docs] [reps]
 Prints one JSON line with per-variant best wall + docs/sec and asserts the
@@ -58,9 +60,11 @@ def make_shard(n_docs: int, seed: int = 7) -> bytes:
     return bytes(out)
 
 
-def parse_unrolled(data: bytes) -> _Columns:
-    """Semantics-identical twin of _parse_shard_columnar with the span
-    field loop unrolled and appends locally bound."""
+def parse_looped(data: bytes) -> _Columns:
+    """Semantics-identical twin of _parse_shard_columnar holding the
+    PRE-round-6 span-field tuple loop (`for lst in (kinds, texts, medias)`,
+    unbound appends) — kept as the measured baseline the production
+    unrolled parser is compared against every run."""
     out = _Columns()
     if data[:4] != MAGIC:
         out.corrupt = 1
@@ -68,9 +72,6 @@ def parse_unrolled(data: bytes) -> _Columns:
     u32, i32 = _U32.unpack_from, _I32.unpack_from
     find = data.find
     kinds, texts, medias, offs = out.kinds, out.texts, out.medias, out.offs
-    kapp, tapp, mapp, oapp = (kinds.append, texts.append, medias.append,
-                              offs.append)
-    doc_app, cnt_app = out.doc_ids.append, out.counts.append
     end = len(data)
     i = 4
     while i < end:
@@ -112,54 +113,28 @@ def parse_unrolled(data: bytes) -> _Columns:
                     if n_spans > plen:
                         raise ValueError("bad span count")
                     for _ in range(n_spans):
-                        # kind
-                        if pos + 4 > pend:
-                            raise ValueError("truncated")
-                        n = u32(data, pos)[0]
-                        pos += 4
-                        if n == NULL32:
-                            kapp(None)
-                        else:
-                            e = pos + n
-                            if e > pend:
-                                raise ValueError("bad string length")
-                            kapp(data[pos:e].decode("utf-8"))
-                            pos = e
-                        # text
-                        if pos + 4 > pend:
-                            raise ValueError("truncated")
-                        n = u32(data, pos)[0]
-                        pos += 4
-                        if n == NULL32:
-                            tapp(None)
-                        else:
-                            e = pos + n
-                            if e > pend:
-                                raise ValueError("bad string length")
-                            tapp(data[pos:e].decode("utf-8"))
-                            pos = e
-                        # media_ref
-                        if pos + 4 > pend:
-                            raise ValueError("truncated")
-                        n = u32(data, pos)[0]
-                        pos += 4
-                        if n == NULL32:
-                            mapp(None)
-                        else:
-                            e = pos + n
-                            if e > pend:
-                                raise ValueError("bad string length")
-                            mapp(data[pos:e].decode("utf-8"))
-                            pos = e
+                        for lst in (kinds, texts, medias):
+                            if pos + 4 > pend:
+                                raise ValueError("truncated")
+                            n = u32(data, pos)[0]
+                            pos += 4
+                            if n == NULL32:
+                                lst.append(None)
+                            else:
+                                if pos + n > pend:
+                                    raise ValueError("bad string length")
+                                lst.append(data[pos:pos + n].decode("utf-8"))
+                                pos += n
                         if pos + 5 > pend:
                             raise ValueError("truncated")
-                        oapp(i32(data, pos + 1)[0] if data[pos] else None)
+                        offs.append(i32(data, pos + 1)[0]
+                                    if data[pos] else None)
                         pos += 5
                     cnt = n_spans
                 if pos != pend:
                     raise ValueError("trailing bytes in payload")
-                doc_app(doc_id)
-                cnt_app(cnt)
+                out.doc_ids.append(doc_id)
+                out.counts.append(cnt)
                 i = pend + 4
                 continue
             except (ValueError, UnicodeDecodeError):
@@ -183,7 +158,7 @@ def main() -> None:
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     data = make_shard(n_docs)
 
-    variants = {"prod": _parse_shard_columnar, "unrolled": parse_unrolled}
+    variants = {"prod": _parse_shard_columnar, "looped_baseline": parse_looped}
     # equality first — on the clean shard AND on a corrupted twin
     base = _cols_tuple(_parse_shard_columnar(data))
     bad = bytearray(data)
