@@ -171,9 +171,10 @@ def _parse_shard_columnar(data: bytes) -> _Columns:
 
     The span-field loop is unrolled (kind/text/media_ref written out
     instead of a `for lst in (kinds, texts, medias)` tuple loop) with
-    `list.append` bound to locals: measured 1.54× single-thread over the
-    looped twin on the bench-shaped shard (tools/bench_wire_parse.py, which
-    keeps the looped variant as the pinned-identical baseline)."""
+    `list.append` bound to locals: measured 1.06× single-thread over the
+    looped twin in a quiet window (tools/bench_wire_parse.py, which keeps
+    the looped variant as the pinned-identical baseline; a contended
+    window showed up to 1.5× but the quiet number is the honest one)."""
     out = _Columns()
     if data[:4] != MAGIC:
         out.corrupt = 1

@@ -10,7 +10,8 @@ variant's win/loss is attributable before touching the production codec.
 Variants:
 * prod            — sources/wireformat._parse_shard_columnar as shipped
                     (round 6: span-field loop unrolled, appends locally
-                    bound — promoted after this tool measured it 1.54×)
+                    bound — promoted after this tool measured it faster;
+                    quiet-window honest margin 1.06×, contended up to 1.5×)
 * looped_baseline — the pre-round-6 tuple-loop parser, kept verbatim as
                     the identical-output baseline the promotion is
                     re-validated against every run
