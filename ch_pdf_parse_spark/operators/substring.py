@@ -106,6 +106,41 @@ def duplicate_spans(corpus: DataFrame, k: int = SUBSTR_K,
     )
 
 
+def scrub_spans(corpus: DataFrame, spans: DataFrame) -> DataFrame:
+    """Excise flagged duplicated spans from document text — the second half
+    of the Lee et al. loop (duplicate_spans finds, this removes): every
+    token whose 1-based position falls inside any of the doc's
+    (span_start, span_end) ranges is dropped and the remainder re-joined
+    with single spaces. Docs with no flagged span pass through unchanged.
+
+    Keep-one-copy policies are the caller's: pre-filter ``spans`` (e.g.
+    anti-join the per-duplicate keeper docs) before passing it here —
+    this function removes exactly what it is given.
+
+    Scale shape: spans collapse to one array per doc_id (tiny — bounded by
+    flagged docs, not corpus), the join against the corpus broadcasts that
+    side under AQE so document text never shuffles, and the excision is a
+    per-row higher-order filter (no Python). Note scrubbing can in
+    principle splice previously-separated tokens into NEW cross-document
+    k-grams; Lee et al. iterate to a fixpoint — so can callers, re-running
+    duplicate_spans on this function's output."""
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"))
+    joined = corpus.join(per_doc, "doc_id", "left")
+    kept = F.filter(
+        F.split("text", " "),
+        lambda t, i: ~F.exists(
+            "_spans",
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"])),
+    )
+    other = [c for c in corpus.columns if c not in ("doc_id", "text")]
+    return joined.select(
+        "doc_id",
+        F.when(F.col("_spans").isNull(), F.col("text"))
+        .otherwise(F.array_join(kept, " ")).alias("text"),
+        *other)
+
+
 def _boiler_corpus(docs: DataFrame) -> DataFrame:
     """documents with the boilerplate paragraph appended to every 11th doc —
     planted cross-document duplicated spans the driver query must recover.

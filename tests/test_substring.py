@@ -174,3 +174,62 @@ def test_fold_checksums_match_direct_window(spark):
             c2 += score * (ln * ln + 7)
         want[g] = (c1, c2)
     assert got == want
+
+
+def test_scrub_spans_excises_exactly_the_flagged_tokens(spark):
+    """scrub_spans (the Lee et al. removal half): every token inside a
+    flagged (span_start, span_end) range is dropped, everything else —
+    including docs with no spans and non-text columns — passes through
+    unchanged. Verified against a pure-Python third implementation driven
+    by the SAME duplicate_spans output."""
+    from ch_pdf_parse_spark.operators.substring import scrub_spans
+
+    rows = [
+        (1, BP + " " + _unique_doc(1)),
+        (2, _unique_doc(2, 20) + " " + BP),
+        (3, _unique_doc(3, 5) + " " + BP + " " + _unique_doc(33, 5)),
+        (4, _unique_doc(4)),
+        (5, _unique_doc(5)),
+    ]
+    corpus = _df(spark, rows)
+    spans = duplicate_spans(corpus)
+    got = {r.doc_id: r.text
+           for r in scrub_spans(corpus, spans).collect()}
+
+    # third implementation: python token-slice from the collected spans
+    by_doc = {}
+    for s in spans.collect():
+        by_doc.setdefault(s.doc_id, []).append((s.span_start, s.span_end))
+    want = {}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        ranges = by_doc.get(doc_id)
+        if ranges is None:
+            want[doc_id] = text
+        else:
+            want[doc_id] = " ".join(
+                t for i, t in enumerate(toks, start=1)
+                if not any(a <= i <= b for a, b in ranges))
+    assert got == want
+    # the planted paragraph is gone from every carrier, carriers keep
+    # their unique remainder, clean docs are byte-identical
+    for doc_id in (1, 2, 3):
+        assert "bp0" not in got[doc_id] and got[doc_id]
+    assert got[4] == rows[3][1] and got[5] == rows[4][1]
+
+
+def test_scrub_then_rescan_finds_nothing(spark):
+    """One scrub pass over the planted corpus removes every cross-document
+    duplicated span: re-running duplicate_spans on the scrubbed corpus
+    returns empty (this corpus splices no new k-grams; in general Lee et
+    al. iterate — scrub_spans' docstring says so)."""
+    from ch_pdf_parse_spark.operators.substring import scrub_spans
+
+    rows = [
+        (1, BP + " " + _unique_doc(1)),
+        (2, _unique_doc(2, 20) + " " + BP),
+        (3, _unique_doc(3)),
+    ]
+    corpus = _df(spark, rows)
+    scrubbed = scrub_spans(corpus, duplicate_spans(corpus))
+    assert duplicate_spans(scrubbed).count() == 0
