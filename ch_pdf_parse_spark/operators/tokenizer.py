@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import DYNAMIC_SQL, register, _t
@@ -156,3 +157,74 @@ def _bpe_oracle_sql(sf_dir: str) -> str:
 
 
 DYNAMIC_SQL["tokenizer_bpe_train"] = _bpe_oracle_sql
+
+
+# ------------------------------------------------------------------ apply
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode ONE word with trained merges: repeatedly merge the
+    lowest-rank adjacent symbol pair present (leftmost on rank ties) until
+    none applies. Pure function — the Spark encoder and the tests share
+    the ranks dict format, not this implementation (tests re-derive the
+    encoding with the sequential apply-merges-in-rank-order formulation
+    and assert equality; the two are equivalent because a merge at rank r
+    can only create pairs involving its new symbol, whose merges are all
+    ranked > r)."""
+    sym = list(word) + [_END]
+    while len(sym) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_encode(docs: DataFrame, merges, text_col: str = "text") -> DataFrame:
+    """Distributed BPE apply — the encode half of the tokenizer loop
+    (train learns merges from the histogram; this tokenizes the corpus
+    with them): adds ``bpe_tokens array<string>`` and ``n_bpe long`` to
+    ``docs``.
+
+    ``merges`` is the trainer's output — either its DataFrame
+    (merge_rank, lhs, rhs, ...) or an equivalent list of rows.
+
+    Scale shape: the merge table is tiny (rank-capped) and ships to
+    executors inside the UDF closure — no join, no shuffle, the encode
+    chains onto the scan (zero Exchange). Python is unavoidable here (an
+    iterative per-word fixpoint is not expressible in catalyst
+    expressions) so it runs Arrow-batched with a per-batch word→encoding
+    cache: under Zipf token frequencies the loop body executes roughly
+    once per DISTINCT word per batch, not once per token. NULL text ≡ ''
+    (the trainer's convention) → empty token array."""
+    from ..packaging import ensure_on_executors
+
+    # the UDF closure references bpe_encode_word from this module — ship
+    # the package to Python workers (idempotent; no-op under --py-files)
+    ensure_on_executors(docs.sparkSession)
+    if isinstance(merges, DataFrame):
+        merges = merges.select("merge_rank", "lhs", "rhs").collect()
+    ranks = {(m[1], m[2]): m[0] for m in (tuple(r) for r in merges)}
+
+    @F.pandas_udf("array<string>")
+    def _enc(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc_text(text) -> list[str]:
+            out: list[str] = []
+            for word in (text or "").split(" "):
+                if not word:
+                    continue
+                got = cache.get(word)
+                if got is None:
+                    got = cache[word] = bpe_encode_word(word, ranks)
+                out.extend(got)
+            return out
+
+        return texts.map(enc_text)
+
+    return docs.withColumn("bpe_tokens", _enc(F.col(text_col))).withColumn(
+        "n_bpe", F.size("bpe_tokens").cast("long"))

@@ -72,3 +72,63 @@ def test_histogram_plan_is_topk_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "partial_count" in plan, plan
     assert not re.search(r"\(\d+\) Sort\b", plan), plan
+
+
+def _sequential_encode(word, merges_by_rank):
+    """Independent reference: apply trained merges strictly in rank order,
+    each merging ALL its adjacent occurrences left-to-right — the textbook
+    'apply merges sequentially' formulation, distinct from the operator's
+    lowest-rank-first fixpoint."""
+    sym = list(word) + ["</w>"]
+    for _, a, b, _c in merges_by_rank:
+        i = 0
+        while i < len(sym) - 1:
+            if sym[i] == a and sym[i + 1] == b:
+                sym[i:i + 2] = [a + b]
+            else:
+                i += 1
+    return sym
+
+
+def test_bpe_encode_matches_sequential_reference(spark, tmp_path):
+    """bpe_encode (distributed apply) vs the sequential formulation on the
+    corpus the merges were trained on: token streams identical per doc,
+    every doc round-trips (concatenating its tokens and splitting on the
+    </w> marker reproduces the words)."""
+    from ch_pdf_parse_spark.operators.tokenizer import (
+        bpe_encode, bpe_merges, word_histogram)
+
+    tmp = str(tmp_path)
+    _write_docs(spark, tmp)
+    docs = spark.read.parquet(os.path.join(tmp, "documents.parquet"))
+    merges = bpe_merges(word_histogram(docs))
+    got = {r.doc_id: list(r.bpe_tokens)
+           for r in bpe_encode(docs, [(m[0], m[1], m[2], m[3])
+                                      for m in merges]).collect()}
+    for row in docs.collect():
+        want = []
+        for w in (row.text or "").split(" "):
+            if w:
+                want.extend(_sequential_encode(w, merges))
+        assert got[row.doc_id] == want, row.doc_id
+        # round-trip: tokens spell the original words exactly
+        joined = "".join(want)
+        assert joined == "".join(
+            w + "</w>" for w in (row.text or "").split(" ") if w)
+
+
+def test_bpe_encode_zero_shuffle_plan(spark, tmp_path):
+    """The encode chains onto the scan: zero Exchange nodes (merges ship in
+    the closure, no join) and the output carries ArrowEvalPython, i.e. the
+    Python is Arrow-batched, not row-at-a-time."""
+    from ch_pdf_parse_spark.operators.tokenizer import (
+        bpe_encode, bpe_merges, word_histogram)
+
+    tmp = str(tmp_path)
+    _write_docs(spark, tmp)
+    docs = spark.read.parquet(os.path.join(tmp, "documents.parquet"))
+    merges = bpe_merges(word_histogram(docs))
+    plan = bpe_encode(docs, [tuple(m) for m in merges])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
