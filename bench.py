@@ -148,11 +148,19 @@ def wire_shards_dir(corpus_path: str, n_shards: int = 96) -> str:
     return out
 
 
-def run_extraction_wire(cores: int, corpus_path: str, runs: int = 2) -> float:
+def run_extraction_wire(cores: int, corpus_path: str, runs: int = 2,
+                        fused: bool = False) -> float:
     """Raw-bytes S1 lifecycle e2e: binaryFile scan → per-record parse →
-    extraction kernel. Same noop-write protocol as the parquet flagship."""
+    extraction kernel. Same noop-write protocol as the parquet flagship.
+
+    ``fused=False`` times the composable path (read_wire → documents rows →
+    extract_documents: the full spans payload crosses the JVM↔Python
+    boundary twice); ``fused=True`` times extract_wire (round 6: parse +
+    kernel in ONE mapInArrow — only shard bytes in, records/markdown out;
+    measured 1.8× at 40k docs, closing the wire path's gap to the parquet
+    flagship)."""
     from ch_pdf_parse_spark.pipeline import extract_documents
-    from ch_pdf_parse_spark.sources.wireformat import read_wire
+    from ch_pdf_parse_spark.sources.wireformat import extract_wire, read_wire
 
     wire_dir = wire_shards_dir(corpus_path)
     # one ~8 MB shard per task: binaryFile packs whole files into partitions
@@ -163,6 +171,10 @@ def run_extraction_wire(cores: int, corpus_path: str, runs: int = 2) -> float:
                       **{"spark.sql.files.maxPartitionBytes":
                          str(8 * 1024 * 1024)})
     try:
+        if fused:
+            _run(extract_wire(spark, wire_dir).limit(2048))  # warmup
+            return _best_stable(lambda: _run(extract_wire(spark, wire_dir)),
+                                runs_min=runs)
         docs = read_wire(spark, wire_dir)
         _run(extract_documents(docs.limit(2048)))  # warmup
         return _best_stable(lambda: _run(extract_documents(docs)),
@@ -207,6 +219,13 @@ def main() -> None:
     t_wire = run_extraction_wire(CPUS, corpus_path)
     queries["q_extract_wire"] = round(t_wire, 3)
     extras["wire_docs_per_sec"] = round(n_docs / t_wire, 1)
+
+    # fused wire lifecycle (round 6): parse + kernel in one mapInArrow —
+    # the decode-once shape; kept NEXT TO the composable number so the
+    # boundary-crossing cost stays visible round over round
+    t_wire_f = run_extraction_wire(CPUS, corpus_path, fused=True)
+    queries["q_extract_wire_fused"] = round(t_wire_f, 3)
+    extras["wire_fused_docs_per_sec"] = round(n_docs / t_wire_f, 1)
 
     spark = get_spark("bench-queries", cores=CPUS, shuffle_partitions=max(32, CPUS * 4))
     try:

@@ -530,3 +530,64 @@ def wire_scan_stats(spark: SparkSession, path: str) -> DataFrame:
     The per-partition metrics row the north rule's lineage story wants for
     ingest: a nonzero ``n_corrupt`` names the exact shard to re-fetch."""
     return _binary_scan(spark, path).mapInPandas(_stats_batches, STATS_SCHEMA)
+
+
+def _fused_extract_arrow(it, columns):
+    """binary (path, content) batches → extraction OUTPUT batches: the
+    shard parse chains straight into the extraction kernel inside one
+    Python worker pass."""
+    from ..pipeline import _extract_arrow
+
+    def parsed(binary_it):
+        for batch in binary_it:
+            for content in batch.column("content").to_pylist():
+                yield _doc_batch(_parse_shard_columnar(bytes(content)))
+
+    yield from _extract_arrow(parsed(it), columns=columns)
+
+
+def extract_wire_fused(binary_df: DataFrame,
+                       columns: tuple[str, ...] = ("spans", "markdown")
+                       ) -> DataFrame:
+    """Fused raw-bytes lifecycle: shard bytes → parse → extraction kernel in
+    ONE ``mapInArrow`` stage.
+
+    The composable path (``extract_documents(read_wire(...))``) crosses the
+    JVM↔Python boundary twice with the FULL spans payload: bytes cross into
+    Python to parse, the parsed spans cross back to the JVM as Arrow, then
+    cross into Python again for the kernel. Parsed spans ≈ the corpus text
+    — at 40k bench docs that extra round trip is most of the wire path's
+    2× gap vs the parquet flagship (BENCH/BASELINE.md: the identity
+    round-trip of the spans column alone costs more than the whole
+    extraction job). Here the parser's columnar output feeds the kernel's
+    Arrow consumer directly in the same worker; only shard bytes cross in
+    and only (records, markdown) cross out — the decode-once shape a
+    100 TB raw-bytes ingest needs.
+
+    Semantics: identical to ``extract_documents(read_wire(...))`` — pinned
+    by test (including corrupt-shard per-record drops and null spans).
+    Execution differences, by design: no oversized-doc salting (a document
+    lives inside one wire record, so the salt path's cross-page shuffle
+    cannot apply; a pathological multi-MB doc makes one long task — bound
+    oversized records at SHARD-WRITE time if that matters), and
+    ``wire_scan_stats`` remains the corruption audit (same scan, stats
+    projection)."""
+    from functools import partial
+
+    from ..packaging import ensure_on_executors
+    from ..pipeline import OUTPUT_SCHEMA, normalize_columns
+
+    ensure_on_executors(binary_df.sparkSession)
+    cols = normalize_columns(columns)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.StringType())]
+        + [f for f in OUTPUT_SCHEMA.fields if f.name in cols])
+    return binary_df.select("content").mapInArrow(
+        partial(_fused_extract_arrow, columns=cols), schema)
+
+
+def extract_wire(spark: SparkSession, path: str,
+                 columns: tuple[str, ...] = ("spans", "markdown")
+                 ) -> DataFrame:
+    """``binaryFile`` scan → fused parse+extract (see extract_wire_fused)."""
+    return extract_wire_fused(_binary_scan(spark, path), columns=columns)
