@@ -106,7 +106,19 @@ def main() -> None:
     except ValueError as e:
         sys.exit(f"job.py: {e}")
     if args.no_lineage:
-        write_table(extract_documents(docs, columns=cols), args.output)
+        if args.input_format == "wire":
+            # single-pass wire mode takes the FUSED lifecycle (round 6:
+            # parse + kernel in one mapInArrow, 1.8× — parsed spans never
+            # re-cross the JVM boundary; output pinned row-identical to
+            # extract_documents(read_wire(...)) in tests/test_wire_fused).
+            # Lineage mode keeps the composable path: its bucket jobs
+            # filter the parsed documents rows by doc_id hash.
+            from ch_pdf_parse_spark.sources.wireformat import extract_wire
+
+            write_table(extract_wire(spark, args.input, columns=cols),
+                        args.output)
+        else:
+            write_table(extract_documents(docs, columns=cols), args.output)
         computed = ["all"]
         # parquet count() is footer-metadata only — no second data pass
         n_docs = read_table(spark, args.output).count()
