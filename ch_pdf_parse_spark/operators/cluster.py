@@ -149,8 +149,14 @@ def resolve_clusters(nodes: DataFrame, pairs: DataFrame,
         # side). coalesce() is narrow on an already-checkpointed RDD and a
         # no-op when the target ≥ current partitioning, so at 10^12-doc
         # scale (billions of edges) the conf-sized partitioning is kept.
-        target = max(1, min(int(e.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions")), n // _EDGE_ROWS_PER_PART + 1))
+        try:
+            conf_parts = int(e.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            # "auto" on AQE-managed deployments: the coalesce is only an
+            # optimization — degrade to the RDD's own partitioning bound
+            conf_parts = e.rdd.getNumPartitions()
+        target = max(1, min(conf_parts, n // _EDGE_ROWS_PER_PART + 1))
         return e.coalesce(target)
 
     edges = _sized(edges, n_edges)

@@ -133,12 +133,12 @@ def scrub_spans(corpus: DataFrame, spans: DataFrame) -> DataFrame:
             "_spans",
             lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"])),
     )
-    other = [c for c in corpus.columns if c not in ("doc_id", "text")]
+    scrubbed = (F.when(F.col("_spans").isNull(), F.col("text"))
+                .otherwise(F.array_join(kept, " ")).alias("text"))
+    # preserve the caller's column ORDER (not just the set): callers writing
+    # back over the original table rely on positional schema
     return joined.select(
-        "doc_id",
-        F.when(F.col("_spans").isNull(), F.col("text"))
-        .otherwise(F.array_join(kept, " ")).alias("text"),
-        *other)
+        *[scrubbed if c == "text" else c for c in corpus.columns])
 
 
 def _boiler_corpus(docs: DataFrame) -> DataFrame:

@@ -207,7 +207,22 @@ def bpe_encode(docs: DataFrame, merges, text_col: str = "text") -> DataFrame:
     ensure_on_executors(docs.sparkSession)
     if isinstance(merges, DataFrame):
         merges = merges.select("merge_rank", "lhs", "rhs").collect()
-    ranks = {(m[1], m[2]): m[0] for m in (tuple(r) for r in merges)}
+
+    def _field(row, name, pos):
+        # read by NAME when the row exposes fields (Row / namedtuple /
+        # mapping) — a caller passing rows collected with a different
+        # column order must not get a silently wrong ranks dict; plain
+        # tuples fall back to the documented (merge_rank, lhs, rhs) layout
+        try:
+            return row[name]
+        except (TypeError, KeyError, IndexError):
+            pass
+        if hasattr(row, name):
+            return getattr(row, name)
+        return row[pos]
+
+    ranks = {(_field(m, "lhs", 1), _field(m, "rhs", 2)):
+             _field(m, "merge_rank", 0) for m in merges}
 
     @F.pandas_udf("array<string>")
     def _enc(texts: pd.Series) -> pd.Series:

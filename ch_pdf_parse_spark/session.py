@@ -28,9 +28,21 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
+    # JVM stability: this box's Xeon + OpenJDK 17 crashed the driver JVM with
+    # SIGSEGV in StubRoutines::jlong_disjoint_arraycopy_avx3 under sustained
+    # 32-way Arrow/parquet load (hs_err_pid2594.log, round-6 driver bench at
+    # sf1.0 — 2 of 3 bench repeats + warmup died). That stub family is the
+    # AVX-512 arraycopy intrinsic; capping the JIT at AVX2 avoids it with
+    # negligible cost for this workload (measured: within run-to-run noise).
+    # Applies at JVM launch (client mode passes driver extraJavaOptions to the
+    # java command line); env-overridable for hosts without the erratum.
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:UseAVX=2")
+
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores_s}]")
+        .config("spark.driver.extraJavaOptions", java_opts)
+        .config("spark.executor.extraJavaOptions", java_opts)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
