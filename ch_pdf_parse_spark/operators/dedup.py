@@ -70,7 +70,15 @@ def _sql_hash(expr: str, salt: str | None = None) -> str:
 def with_dup_corpus(docs: DataFrame) -> DataFrame:
     """documents ∪ deterministic near-duplicates (doc_id+100000, last 5 words
     dropped) for every doc_id % 7 == 0 — gives the dedup operators real work
-    on the driver's synthetic corpus. SQL twin: ``DUP_CORPUS_SQL``."""
+    on the driver's synthetic corpus. SQL twin: ``DUP_CORPUS_SQL``.
+
+    The input is spread across cores first (registry.spread_scan — the
+    sf tables are one unsplittable row group, which serialized every
+    detector's map side; no-op at scale), and both union branches reuse
+    the one spread exchange."""
+    from ..registry import spread_scan
+
+    docs = spread_scan(docs.select("doc_id", "text"))
     dups = (
         docs.where(F.col("doc_id") % 7 == 0)
         .select(
@@ -93,24 +101,46 @@ DUP_CORPUS_SQL = """
 """
 
 
-def shingles(corpus: DataFrame, n: int = 3, dedupe: bool = True) -> DataFrame:
-    """(doc_id, shingle) — word n-grams, distinct per doc unless ``dedupe``
-    is False (callers that re-distinct on another key skip the per-doc
-    exchange). The explode itself is map-side only."""
+def shingles(corpus: DataFrame, n: int = 3,
+             dedupe: bool | str = True) -> DataFrame:
+    """(doc_id, shingle) — word n-grams. ``dedupe`` picks the dedup level:
+
+    * True — DISTINCT (doc_id, shingle): exact cross-row semantics (rows
+      sharing a doc_id — e.g. a null-id group — merge their sets), one
+      exchange;
+    * "row" — ``array_distinct`` per corpus ROW only: docs arrive one row
+      per doc, so this is the per-doc distinct WITHOUT the exchange
+      (map-side only); equal to True wherever doc_ids are row-unique, and
+      always a safe feed for dedup-invariant aggregates (min);
+    * False — raw occurrences, map-side only."""
     toks = corpus.select("doc_id", F.split("text", " ").alias("l"))
     # NB: Spark's sequence(1, 0) is a DESCENDING [1,0], not empty — guard
     # short docs explicitly (DuckDB's range(1,1) is empty).
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"if(size(l) >= {n}, transform(sequence(1, size(l) - {n - 1}), "
-                f"i -> concat_ws(' ', {', '.join(f'element_at(l, i + {k})' for k in range(n))})), "
-                "array())"
-            )
-        ).alias("shingle"),
-    )
-    return sh.distinct() if dedupe else sh
+    arr = (f"if(size(l) >= {n}, transform(sequence(1, size(l) - {n - 1}), "
+           f"i -> concat_ws(' ', {', '.join(f'element_at(l, i + {k})' for k in range(n))})), "
+           "array())")
+    if dedupe == "row":
+        arr = f"array_distinct({arr})"
+    sh = toks.select("doc_id", F.explode(F.expr(arr)).alias("shingle"))
+    return sh.distinct() if dedupe is True else sh
+
+
+def shingle_hashes(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, h) DISTINCT — the int64 twin of ``shingles(dedupe=True)``
+    with the portable hash applied BEFORE the distinct: the exchange
+    reconciling cross-row duplicate doc_ids (null-id groups) carries int64
+    pairs instead of shingle strings, and every downstream keyed operation
+    (simhash bit sums, the jaccard df-window / inverted-index self-join)
+    sorts, shuffles and compares 8-byte ints. Within-row duplicates are
+    removed free by ``array_distinct`` (docs arrive one row per doc).
+
+    Equality to the string-keyed formulation is modulo md5₁₅ collisions
+    (60-bit space; ~5e-5 collision probability anywhere in a 10M-shingle
+    corpus, zero at oracle-comparison scales) — the same accepted risk as
+    every portable-hash key in this module."""
+    sh = shingles(corpus, n, dedupe="row")
+    return sh.select(
+        "doc_id", portable_hash(F.col("shingle")).alias("h")).distinct()
 
 
 SHINGLES_SQL = """
@@ -135,6 +165,77 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     """doc_id → m0..m{N-1}: min over shingles of salted portable hash.
     Partial (map-side) min aggregation — one narrow shuffle on doc_id."""
     return sh.groupBy("doc_id").agg(*_minhash_aggs())
+
+
+def minhash_from_text(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → m0..m{N-1}, computed by ONE ``mapInArrow`` over corpus rows.
+
+    Value-identical to ``minhash_signatures(shingles(corpus, dedupe=False))``
+    (pinned in tests/test_dedup_caps.py): per row, split the UTF-8 text on
+    single spaces, hash every word n-gram with the N_MINHASH salted
+    portable hashes (``int(md5(f"{i}:{s}").hexdigest()[:15], 16)`` — bit-
+    exact with the JVM/DuckDB expression), and emit the per-row minima;
+    a doc_id groupBy-min then merges duplicate-id rows (null-id groups)
+    exactly like the aggregation it replaces.
+
+    Why Python (guide §1.2 "per-task work", round 7): the Catalyst
+    expression chain conv(substr(md5(concat(salt, shingle)),1,15),16,10)
+    × N_MINHASH salts measured ~30 s at 3M shingles on 32 cores (~20 µs
+    per salted hash — the concat/hex-string/conv chain, not the digest,
+    dominates), while hashlib's C md5 with seeded-prefix ``copy()`` does
+    ~1 µs. The explode also disappears: only (doc_id, text) enters the
+    worker and only the 17-column signature row leaves, so nothing about
+    this widens any exchange — the one shuffle (doc_id, 16×int64 partials)
+    is unchanged."""
+    from pyspark.sql import types as T
+
+    id_type = corpus.schema["doc_id"].dataType
+    out_schema = T.StructType(
+        [T.StructField("doc_id", id_type)]
+        + [T.StructField(f"m{i}", T.LongType()) for i in range(N_MINHASH)])
+    n_hash = N_MINHASH
+
+    def _mh(it):
+        from hashlib import md5
+
+        import pyarrow as pa
+
+        seeds = [md5(f"{i}:".encode()) for i in range(n_hash)]
+        sentinel = 1 << 62  # every real hash is < 2^60
+        sep = b" "
+        for batch in it:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            o_ids: list = []
+            o_cols: list[list[int]] = [[] for _ in range(n_hash)]
+            for did, t in zip(ids, texts):
+                if t is None:
+                    continue
+                bw = t.encode("utf-8").split(sep)
+                n_sh = len(bw) - n + 1
+                if n_sh <= 0:
+                    continue
+                mins = [sentinel] * n_hash
+                for k in range(n_sh):
+                    sb = sep.join(bw[k:k + n])
+                    for i, seed in enumerate(seeds):
+                        hh = seed.copy()
+                        hh.update(sb)
+                        v = int.from_bytes(hh.digest()[:8], "big") >> 4
+                        if v < mins[i]:
+                            mins[i] = v
+                o_ids.append(did)
+                for i in range(n_hash):
+                    o_cols[i].append(mins[i])
+            if o_ids:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(o_ids, batch.schema.field("doc_id").type)]
+                    + [pa.array(c, pa.int64()) for c in o_cols],
+                    ["doc_id"] + [f"m{i}" for i in range(n_hash)])
+
+    partials = corpus.select("doc_id", "text").mapInArrow(_mh, out_schema)
+    return partials.groupBy("doc_id").agg(
+        *[F.min(f"m{i}").alias(f"m{i}") for i in range(N_MINHASH)])
 
 
 def fused_doc_signatures(sh: DataFrame) -> DataFrame:
@@ -237,15 +338,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram shingles. Candidates only — the LSH contract; verified below by the
     exact-Jaccard oracle twin.
 
-    dedupe=False: min() over a shingle multiset equals min() over its set,
-    so the per-doc distinct buys nothing here. (Catalyst already folds the
-    distinct's exchange into the signature agg's doc_id exchange — verified
-    by key inspection — so what this skips is the distinct's per-partition
-    hash-aggregate pass over every (doc_id, shingle), not a shuffle. The
-    oracle keeps DISTINCT; the minima are identical by construction.)"""
+    min() over a shingle multiset equals min() over its set, so no distinct
+    is needed anywhere (the oracle keeps DISTINCT; the minima are identical
+    by construction). Signatures come from the Python md5 kernel
+    (``minhash_from_text`` — round 7: ~10× over the Catalyst conv/substr/
+    md5 expression chain, value-identical, pinned in test_dedup_caps)."""
     corpus = with_dup_corpus(_t(spark, sf_dir, "documents"))
-    return lsh_candidate_pairs(
-        minhash_signatures(shingles(corpus, dedupe=False)))
+    return lsh_candidate_pairs(minhash_from_text(corpus))
 
 
 # ---------------------------------------------------------------------------
@@ -382,30 +481,69 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
     the set sizes see the same reduced universe, so the score stays a true
     Jaccard (over discriminative shingles) and one stop-shingle can't make a
     DF² join bucket. The window count partitions by the join key, so Catalyst
-    reuses one exchange for guard + join."""
+    reuses one exchange for guard + join.
+
+    Round 7: the inverted index is keyed on the portable HASH of the
+    shingle (``shingle_hashes``) — the df-window sort, the self-join and
+    every exchange operate on int64 instead of shingle strings (guide
+    §2.3 narrower types; same md5₁₅-collision caveat as every hash key
+    here, zero at oracle scales)."""
     corpus = with_dup_corpus(_t(spark, sf_dir, "documents"))
-    return ngram_jaccard_pairs(shingles(corpus), threshold, df_cap)
+    return ngram_jaccard_pairs(shingle_hashes(corpus), threshold, df_cap)
 
 
 def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
                         df_cap: int = NGRAM_DF_CAP) -> DataFrame:
-    """Exact-Jaccard pair scoring over a per-doc-distinct (doc_id, shingle)
-    table — the body of dedup_ngram_jaccard, shared with the cluster-
-    resolution composition (operators/cluster.py)."""
-    wdf = Window.partitionBy("shingle")
-    sh = (sh.withColumn("df", F.count("*").over(wdf))
-          .where(F.col("df") <= df_cap).drop("df"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("shared"))
-    )
+    """Exact-Jaccard pair scoring over a per-doc-distinct shingle table —
+    the body of dedup_ngram_jaccard, shared with the cluster-resolution
+    composition (operators/cluster.py). Keyed on the int64 portable hash
+    (computed here if the caller fed shingle strings).
+
+    Round 7 shape changes (guide §2.3/§2.4), output-identical (pinned in
+    test_dedup_caps across thresholds):
+
+    * the index is keyed on the int64 portable hash — the df-window, the
+      self-join and the pair aggregation sort/shuffle/compare 8-byte ints,
+      never shingle strings;
+    * set SIZES ride ON the shingle rows (a doc_id window before the
+      join) so the pair count feeds the threshold filter directly — the
+      former shape sort-merge-joined the *weak-pair mass* (146.2M distinct
+      pairs at sf1.0, of which 10,335 survive the threshold) against the
+      sizes table TWICE after the aggregation; now the only post-join
+      operator over that mass is the count itself. Two extra exchanges of
+      the 3M-row shingle table buy removing two sorts of the 146M-row
+      pair table — the right trade at every scale where weak pairs
+      dominate (they always do on natural-language n-grams).
+
+    (A prefix-filtered AllPairs/PPJoin candidate stage was measured and
+    REJECTED on this workload: near-uniform document frequencies leave
+    25.6M of the 146M pairs as candidates, and array-intersect
+    verification costs more than counting — 48 s vs 28 s at sf1.0. The
+    theorem-correct implementation lives in git history at this commit's
+    parent chain for reuse on skewed-vocabulary corpora.)
+
+    The hot-bucket guard is unchanged: shingles in more than ``df_cap``
+    docs leave the universe before sizes and the join."""
+    if "h" not in sh.columns:
+        sh = sh.select(
+            "doc_id", portable_hash(F.col("shingle")).alias("h"))
+    else:
+        sh = sh.select("doc_id", "h")
+    wdf = Window.partitionBy("h")
+    capped = (sh.withColumn("df", F.count("*").over(wdf))
+              .where(F.col("df") <= df_cap).drop("df"))
+    # post-cap set size per doc, attached to every shingle row (window,
+    # not a broadcast: n_docs rows do not broadcast at corpus scale)
+    withn = capped.withColumn(
+        "n", F.count("*").over(Window.partitionBy("doc_id")))
+    a, b = withn.alias("a"), withn.hint("merge").alias("b")
     return (
-        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"),
+                 F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
+        .agg(F.count("*").alias("shared"))
         .withColumn("jaccard", quantize(
             F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4))
         .where(F.col("jaccard") >= threshold)
@@ -475,7 +613,10 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the per-doc count — which, like every shingle aggregation in
     this module, combines map-side first. The corpus text itself never
     shuffles."""
-    docs = _t(spark, sf_dir, "documents")
+    from ..registry import spread_scan
+
+    docs = spread_scan(_t(spark, sf_dir, "documents")
+                       .select("doc_id", "text"))
     corpus_sh = shingles(docs.where(F.col("doc_id") % 17 != 0))
     # dedupe=False: the per-doc distinct would be discarded by the
     # shingle-only distinct anyway — one exchange instead of two

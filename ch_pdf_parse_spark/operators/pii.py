@@ -221,4 +221,7 @@ def scrub_pii(body: DataFrame) -> DataFrame:
 def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over documents: inject deterministic PII (module docstring),
     then detect, count, and mask every class. Zero-exchange map plan."""
-    return scrub_pii(_inject_spark(_t(spark, sf_dir, "documents")))
+    from ..registry import spread_scan
+
+    return scrub_pii(_inject_spark(
+        spread_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))))

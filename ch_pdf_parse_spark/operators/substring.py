@@ -189,8 +189,15 @@ def _substring_sql(k: int = SUBSTR_K, min_docs: int = 2) -> str:
 @register("dedup_substring", None)
 def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: recover the planted boilerplate spans (plus any natural
-    verbatim 8-gram repeats) from the documents table."""
-    return duplicate_spans(_boiler_corpus(_t(spark, sf_dir, "documents")))
+    verbatim 8-gram repeats) from the documents table. The corpus feed is
+    spread across cores first (registry.spread_scan): the sf tables are one
+    unsplittable row group, which serialized the k-gram explode + md5
+    anchor pass; no-op on any splittable source."""
+    from ..registry import spread_scan
+
+    docs = spread_scan(_t(spark, sf_dir, "documents")
+                       .select("doc_id", "text"))
+    return duplicate_spans(_boiler_corpus(docs))
 
 
 from ..registry import SQL  # noqa: E402

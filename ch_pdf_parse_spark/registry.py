@@ -59,6 +59,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism when the
+    source yields FEWER scan partitions than cores.
+
+    Why (round 7, guide §2.5 input skew): the driver's sf tables are each
+    ONE parquet file with ONE row group, and a row group is unsplittable —
+    so every map-side kernel over them (shingle explode, md5 minhash, LSH
+    signatures, cosine scoring) was executing on 1-2 tasks while 30 cores
+    idled, regardless of maxPartitionBytes. The guard makes this strictly
+    scale-adaptive: a production table (or the 128-file bench fixture)
+    already splits at least as wide as the core count, the condition is
+    false, and the plan is untouched — this is never a local[N] tuning
+    constant. Project BEFORE spreading so the exchange carries only the
+    columns the caller kept."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def exact_sum(col, scale: int = 6):
     """Order-independent sum of a double column: round each addend to a
     decimal once (deterministic per row), sum exactly, cast back.

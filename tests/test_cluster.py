@@ -87,20 +87,18 @@ def test_keeper_semantics_on_dup_corpus(spark):
     from ch_pdf_parse_spark.operators.cluster import (
         candidate_pairs_union, with_dup_corpus)
     from ch_pdf_parse_spark.operators.dedup import (
-        fused_doc_signatures, shingles)
+        minhash_from_text, shingle_hashes)
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     corpus = with_dup_corpus(docs)
-    # own the shingle persist lifecycle: a leaked cache entry substitutes
-    # into OTHER tests' plans (cache substitution defeated the simhash
-    # exchange-reuse pin in test_plans when this test ran first)
-    sh = shingles(corpus).persist()
-    fused = fused_doc_signatures(sh).persist()
+    # own the shingle-hash persist lifecycle: a leaked cache entry
+    # substitutes into OTHER tests' plans (cache substitution defeated the
+    # simhash exchange-reuse pin in test_plans when this test ran first)
+    shd = shingle_hashes(corpus).persist()
     clusters = resolve_clusters(
         corpus.select("doc_id").distinct(),
-        candidate_pairs_union(sh, fused)).collect()
-    sh.unpersist()
-    fused.unpersist()
+        candidate_pairs_union(shd, minhash_from_text(corpus))).collect()
+    shd.unpersist()
     by_cluster = {}
     for r in clusters:
         by_cluster.setdefault(r.cluster_id, []).append(r)

@@ -113,3 +113,90 @@ def test_minhash_bucket_cap(spark, tmp_path):
     wide = set(map(tuple, dedup.lsh_candidate_pairs(
         sig, bucket_cap=1 << 30).collect()))
     assert deflt == wide and deflt
+
+
+def test_minhash_from_text_equals_expression_kernel(spark):
+    """The r7 Python md5 minhash kernel must produce exactly the signatures
+    of the Catalyst-expression aggregation (salted portable hashes are
+    bit-identical), including null-doc_id group merging and short/null
+    texts — on real testdata AND the dup corpus."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = spark.read.parquet(sf + "/documents.parquet")
+        corpus = dedup.with_dup_corpus(docs)
+        got = dedup.minhash_from_text(corpus)
+        want = dedup.minhash_signatures(
+            dedup.shingles(corpus, dedupe=False))
+        assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+        assert got.count() == want.count() > 0
+
+
+def test_minhash_from_text_edge_rows(spark):
+    """Null text, empty text, <3 words, multi-space runs, unicode, and
+    duplicate/null doc_ids all agree with the expression kernel."""
+    rows = [(0, "alpha beta gamma delta"), (0, "alpha beta gamma"),
+            (None, "x y z w"), (None, "x y z"), (1, None), (2, ""),
+            (3, "one two"), (4, "a  b  c d"), (5, "汉 字 测 试 漢字"),
+            (6, " lead trail "), (7, "a b c a b c a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.minhash_from_text(df)
+    want = dedup.minhash_signatures(dedup.shingles(df, dedupe=False))
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_shingle_hashes_equals_hashed_distinct(spark):
+    """shingle_hashes (int64 distinct) must equal hashing the string-
+    distinct table — the exchange narrowing is a plan change only."""
+    from pyspark.sql import functions as F
+
+    for sf in ("/root/testdata/sf0.001",):
+        corpus = dedup.with_dup_corpus(
+            spark.read.parquet(sf + "/documents.parquet"))
+        got = dedup.shingle_hashes(corpus)
+        want = dedup.shingles(corpus, dedupe=True).select(
+            "doc_id", dedup.portable_hash(F.col("shingle")).alias("h"))
+        assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_jaccard_prefix_filter_equals_naive(spark):
+    """The r7 prefix-filtered jaccard (AllPairs candidate generation +
+    array_intersect verification) must emit exactly the pairs and scores
+    of the naive inverted-index formulation, across thresholds."""
+    from pyspark.sql import Window, functions as F
+
+    from ch_pdf_parse_spark.registry import quantize
+
+    def naive(sh, threshold, df_cap=dedup.NGRAM_DF_CAP):
+        sh = sh.select("doc_id",
+                       dedup.portable_hash(F.col("shingle")).alias("h"))
+        wdf = Window.partitionBy("h")
+        sh = (sh.withColumn("df", F.count("*").over(wdf))
+              .where(F.col("df") <= df_cap).drop("df"))
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a, b = sh.alias("a"), sh.alias("b")
+        shared = (
+            a.join(b, (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("shared")))
+        return (
+            shared.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                     F.col("n").alias("na")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n").alias("nb")), "doc_b")
+            .withColumn("jaccard", quantize(
+                F.col("shared")
+                / (F.col("na") + F.col("nb") - F.col("shared")), 4))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        corpus = dedup.with_dup_corpus(
+            spark.read.parquet(sf + "/documents.parquet"))
+        sh = dedup.shingles(corpus, dedupe=True)
+        for t in (0.2, 0.5, 0.8):
+            got = sorted(map(tuple,
+                             dedup.ngram_jaccard_pairs(sh, t).collect()))
+            want = sorted(map(tuple, naive(sh, t).collect()))
+            assert got == want, (sf, t, len(got), len(want))
+        assert got  # highest threshold still finds the injected dups

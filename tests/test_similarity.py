@@ -25,6 +25,47 @@ def test_lsh_dedup_equals_bruteforce(spark):
     assert got == want
 
 
+def _sim_topk_pairjoin(spark, sf_dir):
+    """The pre-r7 sim_topk_bruteforce formulation (BroadcastNestedLoopJoin
+    materializing every (corpus, query) pair and scoring it with the
+    per-pair pandas cosine) — kept as the semantics oracle for the r7
+    matmul rewrite: same scores, same ranks, same quantized output."""
+    from pyspark.sql import Window, functions as F
+
+    from ch_pdf_parse_spark.operators.similarity import (
+        _SPARK_D, cosine, quantize)
+    from ch_pdf_parse_spark.registry import _t
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_D.format(v="embedding")).alias("v"))
+    q = e.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("qv"), F.col("v")).alias("c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank",
+                quantize("c", 3).alias("cos"))
+    )
+
+
+def test_sim_topk_matmul_equals_pairjoin(spark):
+    """The r7 broadcast-matrix mapInArrow scorer must emit row-identical
+    output (ids, ranks, quantized cosines) to the old pair-join plan."""
+    from ch_pdf_parse_spark.operators.similarity import sim_topk_bruteforce
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(map(tuple, sim_topk_bruteforce(spark, sf_dir).collect()))
+        want = sorted(map(tuple, _sim_topk_pairjoin(spark, sf_dir).collect()))
+        assert len(want) > 0
+        assert got == want
+
+
 def test_lsh_sign_margins_dwarf_float_error(spark):
     """The module-docstring determinism argument is a MARGIN argument: sign
     bits agree across engines because no corpus vector sits within float64

@@ -98,14 +98,16 @@ def main() -> None:
         return round(wall, 2), n
 
     def run_fused() -> tuple[float, int]:
-        sh = (shingles(corpus)
-              .withColumn("h", portable_hash(F.col("shingle"))).persist())
-        fused = fused_doc_signatures(sh).persist()
+        # r7: candidate_pairs_union now takes the int64 shingle-hash table
+        # plus the Python-kernel minhash signatures (feed split)
+        from ch_pdf_parse_spark.operators.dedup import (
+            minhash_from_text, shingle_hashes)
+
+        shd = shingle_hashes(corpus).persist()
         t0 = time.time()
-        n = candidate_pairs_union(sh, fused).count()
+        n = candidate_pairs_union(shd, minhash_from_text(corpus)).count()
         wall = time.time() - t0
-        sh.unpersist()
-        fused.unpersist()
+        shd.unpersist()
         return round(wall, 2), n
 
     res = {"k": k, "unfused": [], "fused": []}

@@ -184,10 +184,12 @@ def audit(spark, sf_dir: str) -> tuple[list[tuple[str, str, bool, str]], dict[st
 
     p = formatted_plan(sim_topk_bruteforce(spark, sf_dir))
     plans["sim_topk_bruteforce"] = p
-    cond = broadcast_side_filter_condition(p)
-    add("sim_topk_bruteforce", "QUERY set broadcast, corpus streamed",
-        bool(cond and "% 97" in cond),
-        cond[:80] if cond else "no broadcast-side filter found")
+    add("sim_topk_bruteforce",
+        "query matrix broadcast, corpus streamed through ONE MapInArrow "
+        "(no join, no per-pair Python eval)",
+        "Join" not in p
+        and len(re.findall(r"\(\d+\) MapInArrow", p)) == 1
+        and "ArrowEvalPython" not in p)
 
     p = formatted_plan(q["dedup_embedding_cosine"](spark, sf_dir))
     plans["dedup_embedding_cosine"] = p
