@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import constants as C
+from . import native as _native
 
 _GAP_X = C.XY_MIN_GAP_X
 _GAP_Y = C.XY_MIN_GAP_Y
@@ -269,7 +270,14 @@ def extract_document(
             ln = len(t_text[k])
             bx2.append(x1 + _CHAR_W * (ln if ln > 0 else 1))
             by2.append(y1 + _LINE_H)
-        ordered = _xy_cut(t_x1, t_y1, bx2, by2)
+        # native (C) XY-cut when the lazily-compiled library is available —
+        # bit-identical output (differential-fuzzed in tests/test_kernel);
+        # Python twin remains the semantics and the fallback
+        ordered = None
+        if _native.available():
+            ordered = _native.xy_cut(t_x1, t_y1, bx2, by2, _GAP_X, _GAP_Y)
+        if ordered is None:
+            ordered = _xy_cut(t_x1, t_y1, bx2, by2)
 
         tab_groups = []
         fig_groups = []

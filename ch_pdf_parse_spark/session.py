@@ -75,7 +75,17 @@ def get_spark(
         # contiguous bytes"). Shrinking columnarReaderBatchSize instead would
         # also fix it but costs 2.4x wall (measured 1024 vs 4096 at 32 cores);
         # size the heap, keep the reader batch at its default.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        #
+        # r7: 16g -> 48g. BOTH JVM SIGSEGVs on this box (hs_err_pid2594 /
+        # 20929) struck arraycopy stubs at ~85-95% heap occupancy under GC
+        # storms (740 GCs at 186 s; 20 FULL GCs at 112 s), with the faulting
+        # address OUTSIDE the Java heap — an unmapped native/mmap region
+        # touched mid-copy, the classic near-OOM off-heap use-after-free
+        # window. The sf1.0 composable wire path holds 32 in-flight ~82 MB
+        # binary rows plus the full spans payload both directions; 16g sat
+        # permanently at the GC ceiling. 48g (of the 125 GiB box) keeps the
+        # same workload under ~40% occupancy; python workers use a few GiB.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -481,11 +481,24 @@ def _doc_batch(cols: _Columns):
         ["doc_id", "spans", "n_spans"])
 
 
+def _parse_one(content: bytes):
+    """One shard → documents RecordBatch: native C parser when available
+    (round 7 — framing/CRC/UTF-8 walk + Arrow buffer build at C speed,
+    ~10× the Python walk; differential-fuzzed in tests/test_wire_native),
+    Python twin otherwise."""
+    from .. import native
+
+    got = native.parse_shard_batch(content)
+    if got is not None:
+        return got[0]
+    return _doc_batch(_parse_shard_columnar(content))
+
+
 def _parse_arrow(it):
     for batch in it:
         d = batch.to_pydict()
         for content in d["content"]:
-            yield _doc_batch(_parse_shard_columnar(bytes(content)))
+            yield _parse_one(bytes(content))
 
 
 def _stats_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -541,7 +554,7 @@ def _fused_extract_arrow(it, columns):
     def parsed(binary_it):
         for batch in binary_it:
             for content in batch.column("content").to_pylist():
-                yield _doc_batch(_parse_shard_columnar(bytes(content)))
+                yield _parse_one(bytes(content))
 
     yield from _extract_arrow(parsed(it), columns=columns)
 
