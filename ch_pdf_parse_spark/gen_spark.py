@@ -44,7 +44,15 @@ def write_corpus_spark(spark: SparkSession, n_docs: int, out_dir: str,
 
     ensure_on_executors(spark)
     (
-        spark.range(n_docs).repartition(n_files)
+        # RANGE-partitioned and sorted by id (round 7, guide §6 "sort order
+        # on write"): each part-file then holds one contiguous doc_id range,
+        # so parquet min/max statistics prune doc_id-bounded readers (the
+        # relational twin's 2k-doc slice read all 128 files under the old
+        # round-robin layout — every file spanned the whole id range). Same
+        # rows, same schema: content is a pure function of (index, seed),
+        # independent of partitioning.
+        spark.range(n_docs).repartitionByRange(n_files, "id")
+        .sortWithinPartitions("id")
         .mapInPandas(_gen_batches, GEN_SCHEMA)
         .write.mode("overwrite").parquet(out_dir)
     )
