@@ -615,8 +615,13 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles."""
     from ..registry import spread_scan
 
+    # byte-sized spread (not full fan-out): decontamination's per-byte
+    # compute is one shingle explode + a broadcast probe — on a sub-MB
+    # local table the exchange overhead outweighs it (measured 0.91 s →
+    # 1.35 s at sf0.1 under full fan-out; the multi-MB sf1.0 table still
+    # spreads core-wide: 5.1 s → 2.7 s)
     docs = spread_scan(_t(spark, sf_dir, "documents")
-                       .select("doc_id", "text"))
+                       .select("doc_id", "text"), per_part_bytes=64 * 1024)
     corpus_sh = shingles(docs.where(F.col("doc_id") % 17 != 0))
     # dedupe=False: the per-doc distinct would be discarded by the
     # shingle-only distinct anyway — one exchange instead of two

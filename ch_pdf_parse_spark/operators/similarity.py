@@ -112,7 +112,8 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..registry import spread_scan
 
     raw = spread_scan(
-        _t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+        _t(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        per_part_bytes=64 * 1024)
     return raw.select(
         "vec_id", F.expr(_SPARK_D.format(v="embedding")).alias("v"))
 

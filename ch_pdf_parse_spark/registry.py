@@ -59,7 +59,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def spread_scan(df: DataFrame) -> DataFrame:
+def spread_scan(df: DataFrame, per_part_bytes: int | None = None) -> DataFrame:
     """Round-robin repartition to the session's default parallelism when the
     source yields FEWER scan partitions than cores.
 
@@ -72,12 +72,42 @@ def spread_scan(df: DataFrame) -> DataFrame:
     already splits at least as wide as the core count, the condition is
     false, and the plan is untouched — this is never a local[N] tuning
     constant. Project BEFORE spreading so the exchange carries only the
-    columns the caller kept."""
+    columns the caller kept.
+
+    ``per_part_bytes`` picks the fan-out policy. The default (None) spreads
+    to FULL core count whatever the input size — right for feeds whose
+    per-byte compute dwarfs exchange overhead (the md5 shingling/minhash
+    kernels run ~4 s/MB-compressed single-thread: the 0.6 MB sf0.1
+    documents table still wants all 32 cores). Overhead-bound consumers
+    pass a bytes-per-partition target instead (similarity's ``_emb`` uses
+    64 KiB): a sub-MB table fanned to 32 near-empty partitions pays more
+    in exchange/stage overhead than cheap numpy scoring returns (measured:
+    sim_ann_ivf_kmeans over the 0.8 MB sf0.1 embeddings, 0.7 s → 1.3 s at
+    a fixed 32-way spread; byte-sizing recovers it while keeping full
+    fan-out on multi-MB inputs)."""
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
-    return df
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    target = n
+    if per_part_bytes:
+        try:
+            size = int(str(df._jdf.queryExecution().optimizedPlan().stats()
+                           .sizeInBytes()))
+            # floor: an exchange costs a fixed stage round-trip (~0.5 s
+            # here); unless the input can feed at least ~16 partitions at
+            # the requested density, cheap per-byte compute cannot repay
+            # it (measured: ivf over the 0.65 MB sf0.1 table, 0.78 s
+            # unspread vs 1.27 s spread; the 4.9 MB sf1.0 twin, 4.97 s
+            # unspread vs 2.56 s spread)
+            if size < per_part_bytes * 16:
+                return df
+            target = max(1, min(n, size // per_part_bytes))
+        except Exception:  # noqa: BLE001 — no estimate: full fan-out
+            pass
+    if target <= df.rdd.getNumPartitions():
+        return df
+    return df.repartition(target)
 
 
 def exact_sum(col, scale: int = 6):

@@ -120,3 +120,62 @@ def test_projection_flags_match_full_run():
                                                       want_records=False)
         assert recs_only == recs and md_empty == ""
         assert md_only == md and recs_empty == []
+
+
+def test_native_xy_cut_matches_python_fuzz():
+    """The C XY-cut must agree with kernel._xy_cut bit-for-bit on random
+    and tie-heavy layouts (stable-sort tie-breaks included). Skipped when
+    no C toolchain is available (Python path is then the only path)."""
+    import random
+
+    import pytest
+
+    from ch_pdf_parse_spark import kernel, native
+
+    if not native.available():
+        pytest.skip("no C toolchain: python XY-cut is used")
+    rng = random.Random(20260821)
+    for trial in range(1500):
+        n = rng.choice([1, 2, 3, 5, 8, 20, 60, 150])
+        x1 = [rng.randrange(0, 1000) for _ in range(n)]
+        y1 = [rng.randrange(0, 1000) for _ in range(n)]
+        x2 = [a + rng.randrange(1, 400) for a in x1]
+        y2 = [a + kernel._LINE_H for a in y1]
+        assert (native.xy_cut(x1, y1, x2, y2,
+                              kernel._GAP_X, kernel._GAP_Y)
+                == kernel._xy_cut(x1, y1, x2, y2)), (trial, n)
+    for trial in range(1000):  # dense, tie-heavy (stability stress)
+        n = rng.choice([10, 40, 80])
+        x1 = [rng.randrange(0, 12) * 10 for _ in range(n)]
+        y1 = [rng.randrange(0, 15) * 14 for _ in range(n)]
+        x2 = [a + rng.choice([4, 40, 120]) for a in x1]
+        y2 = [a + kernel._LINE_H for a in y1]
+        assert (native.xy_cut(x1, y1, x2, y2,
+                              kernel._GAP_X, kernel._GAP_Y)
+                == kernel._xy_cut(x1, y1, x2, y2)), (trial, n)
+
+
+def test_native_disabled_falls_back(monkeypatch):
+    """A native-library load failure must leave extraction on the Python
+    twin with identical results on the fixture corpus."""
+    from ch_pdf_parse_spark import fixtures, kernel, native
+
+    docs = [fixtures.generate_document(i, 42) for i in range(25)]
+
+    def run_all():
+        out = []
+        for b in docs:
+            kinds = [s[0] for s in b.spans]
+            texts = [s[1] for s in b.spans]
+            refs = [s[2] for s in b.spans]
+            pages, y1s, x1s = kernel.decode_offsets(
+                [s[3] or 0 for s in b.spans])
+            out.append(kernel.extract_document(
+                kinds, texts, refs, pages, y1s, x1s, 0, len(b.spans)))
+        return out
+
+    a = run_all()
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", True)
+    assert not native.available()
+    assert run_all() == a
