@@ -211,20 +211,12 @@ static void recurse(Ctx *c, int *idxs, int n, long long region_x0) {
     free(xo); free(starts); free(yo); free(bstarts);
 }
 
-/* in: one C-contiguous (4, n) int64 buffer — rows x1, y1, x2, y2;
-   out: one (2, n) int64 buffer — row 0 emitted idx, row 1 region_x0
-   (single-buffer marshaling keeps the ctypes call overhead at one
-   pointer cast per side instead of six) */
-int xy_cut(const long long *in4, int n, long long gx, long long gy,
-           long long *out2) {
+/* internal core: idx/x0 output arrays supplied by the caller */
+static int xy_cut_core(const long long *x1, const long long *y1,
+                       const long long *x2, const long long *y2, int n,
+                       long long gx, long long gy,
+                       int *out_idx, long long *out_x0) {
     if (n <= 0) return 0;
-    const long long *x1 = in4, *y1 = in4 + n, *x2 = in4 + 2 * n,
-                    *y2 = in4 + 3 * n;
-    long long *out_iidx = out2, *out_xx0 = out2 + n;
-    /* keep the narrow int emit buffer internal */
-    int *out_idx = malloc((size_t)n * sizeof(int));
-    long long *out_x0 = out_xx0;
-    if (!out_idx) return -1;
     Ctx c;
     c.x1 = x1; c.y1 = y1; c.x2 = x2; c.y2 = y2;
     c.gx = gx; c.gy = gy;
@@ -236,15 +228,29 @@ int xy_cut(const long long *in4, int n, long long gx, long long gy,
     int *root = malloc((size_t)n * sizeof(int));
     if (!c.band_of || !c.scratch || !c.keybuf || !root) {
         free(c.band_of); free(c.scratch); free(c.keybuf); free(root);
-        free(out_idx);
         return -1;
     }
     for (int i = 0; i < n; i++) root[i] = i;
     recurse(&c, root, n, min_x1(&c, root, n));
-    for (int k = 0; k < c.out_n; k++) out_iidx[k] = out_idx[k];
     free(c.band_of); free(c.scratch); free(c.keybuf); free(root);
-    free(out_idx);
     return c.out_n;
+}
+
+/* in: one C-contiguous (4, n) int64 buffer — rows x1, y1, x2, y2;
+   out: one (2, n) int64 buffer — row 0 emitted idx, row 1 region_x0
+   (single-buffer marshaling keeps the ctypes call overhead at one
+   pointer cast per side instead of six) */
+int xy_cut(const long long *in4, int n, long long gx, long long gy,
+           long long *out2) {
+    if (n <= 0) return 0;
+    int *out_idx = malloc((size_t)n * sizeof(int));
+    if (!out_idx) return -1;
+    int got = xy_cut_core(in4, in4 + n, in4 + 2 * n, in4 + 3 * n, n,
+                          gx, gy, out_idx, out2 + n);
+    if (got >= 0)
+        for (int k = 0; k < got; k++) out2[k] = out_idx[k];
+    free(out_idx);
+    return got;
 }
 
 /* ------------------------------------------------------------------ */
@@ -546,6 +552,487 @@ decide:
     return p;
 }
 
+
+/* ------------------------------------------------------------------ */
+/* Whole-batch extraction kernel — C twin of kernel.extract_document  */
+/* driven over the Arrow buffers directly (see that module's          */
+/* docstrings for the reference semantics; differentially pinned in   */
+/* tests/test_kernel.py / test_fuzz / test_golden via the dispatch).  */
+
+typedef struct {            /* one Arrow string column, zero-offset */
+    const unsigned char *vals;
+    const int *offs;
+    const unsigned char *validity;   /* bitmap; NULL = all valid */
+} AStr;
+
+typedef struct {
+    long long header_y, title_y, nl_dy, nl_dx, char_w, line_h;
+    long long gx, gy, off_page, off_y;
+    const unsigned char *eq; long long eq_len;
+    const unsigned char *unlab; long long unlab_len;
+    const unsigned char *irrel; long long irrel_len;
+    const unsigned char *sep_title; long long sep_title_len;
+    const unsigned char *sep_para; long long sep_para_len;
+    const unsigned char *sep_media; long long sep_media_len;
+    const unsigned char *page_sep; long long page_sep_len;
+    const unsigned char *unmatched; long long unmatched_len;
+    int want_records, want_markdown;
+} ExCfg;
+
+typedef struct {
+    StrCol rkind, rtext, rmedia;   /* flat record columns */
+    int *counts; long long counts_cap, n_docs;   /* records per doc */
+    StrCol md;                     /* one markdown string per doc */
+    int oom;
+} ExOut;
+
+static int bit_get(const unsigned char *bm, long long i) {
+    return bm == NULL || ((bm[i >> 3] >> (i & 7)) & 1);
+}
+
+typedef struct { const unsigned char *p; long long n; } Bytes;
+
+static Bytes astr_get(const AStr *c, long long i) {
+    Bytes b;
+    if (!bit_get(c->validity, i)) { b.p = c->vals; b.n = 0; return b; }
+    b.p = c->vals + c->offs[i];
+    b.n = (long long)c->offs[i + 1] - c->offs[i];
+    return b;
+}
+
+static int beq(Bytes a, const unsigned char *s, long long n) {
+    return a.n == n && memcmp(a.p, s, (size_t)n) == 0;
+}
+
+static long long cp_count(Bytes b) {   /* python len(): code points */
+    long long c = 0;
+    for (long long i = 0; i < b.n; i++)
+        if ((b.p[i] & 0xC0) != 0x80) c++;
+    return c;
+}
+
+static int ascii_digit(unsigned char c) { return c >= '0' && c <= '9'; }
+
+/* kind constants emitted by classification */
+static const unsigned char K_EQ[] = "equation";
+static const unsigned char K_FIGCAP[] = "figure_caption";
+static const unsigned char K_TABCAP[] = "table_caption";
+static const unsigned char K_REF[] = "reference";
+static const unsigned char K_ABS[] = "abstract";
+static const unsigned char K_KW[] = "keyword";
+static const unsigned char K_HDR[] = "header";
+static const unsigned char K_TITLE[] = "title";
+static const unsigned char K_TEXT[] = "text";
+static const unsigned char U_ZH_FIG[] = {0xE5, 0x9B, 0xBE};       /* 图 */
+static const unsigned char U_ZH_TAB[] = {0xE8, 0xA1, 0xA8};       /* 表 */
+static const unsigned char U_ZH_ABS[] = {0xE6, 0x91, 0x98, 0xE8, 0xA6, 0x81};             /* 摘要 */
+static const unsigned char U_ZH_KW[] = {0xE5, 0x85, 0xB3, 0xE9, 0x94, 0xAE, 0xE8, 0xAF, 0x8D}; /* 关键词 */
+
+static Bytes BC(const unsigned char *s, long long n) {
+    Bytes b; b.p = s; b.n = n; return b;
+}
+
+/* mirror of kernel._classify over UTF-8 bytes */
+static Bytes classify(const ExCfg *g, Bytes text, long long page,
+                      long long y1) {
+    if (beq(text, g->eq, g->eq_len)) return BC(K_EQ, 8);
+    if (text.n >= 4 && memcmp(text.p, U_ZH_FIG, 3) == 0
+        && ascii_digit(text.p[3]))
+        return BC(K_FIGCAP, 14);
+    if (text.n >= 4 && memcmp(text.p, U_ZH_TAB, 3) == 0
+        && ascii_digit(text.p[3]))
+        return BC(K_TABCAP, 13);
+    if (text.n >= 1 && text.p[0] == '[') {
+        long long i = 1;
+        while (i < text.n && ascii_digit(text.p[i])) i++;
+        if (i > 1 && i < text.n && text.p[i] == ']') return BC(K_REF, 9);
+    }
+    if (text.n >= 6 && memcmp(text.p, U_ZH_ABS, 6) == 0) return BC(K_ABS, 8);
+    if (text.n >= 9 && memcmp(text.p, U_ZH_KW, 9) == 0) return BC(K_KW, 7);
+    if (y1 < g->header_y) return BC(K_HDR, 6);
+    if (page == 0 && y1 < g->title_y) return BC(K_TITLE, 5);
+    return BC(K_TEXT, 4);
+}
+
+/* byte buffer with ranges (caption scratch etc.) */
+typedef struct { unsigned char *p; long long len, cap; } Buf;
+
+static int buf_add(Buf *b, const unsigned char *s, long long n) {
+    if (b->len + n > b->cap) {
+        long long nc = b->cap ? b->cap * 2 : 1024;
+        while (nc < b->len + n) nc *= 2;
+        unsigned char *np = realloc(b->p, (size_t)nc);
+        if (!np) return 0;
+        b->p = np; b->cap = nc;
+    }
+    memcpy(b->p + b->len, s, (size_t)n);
+    b->len += n;
+    return 1;
+}
+
+static int col_append_last(StrCol *c, const unsigned char *s, long long n) {
+    if (!col_reserve(c, 0, n)) return 0;
+    memcpy(c->vals + c->vlen, s, (size_t)n);
+    c->vlen += n;
+    c->offs[c->count] = (int)c->vlen;
+    return 1;
+}
+
+static int push_count_ex(ExOut *o, int v) {
+    if (o->n_docs + 1 > o->counts_cap) {
+        long long nc = o->counts_cap ? o->counts_cap * 2 : 1024;
+        int *nv = realloc(o->counts, (size_t)nc * sizeof(int));
+        if (!nv) return 0;
+        o->counts = nv; o->counts_cap = nc;
+    }
+    o->counts[o->n_docs++] = v;
+    return 1;
+}
+
+#define OOMCHK(x) \
+    do { if (!(x)) { o->oom = 1; rc = -1; goto done_page_alloc; } } while (0)
+
+/* one document over [lo, hi) of the span child arrays */
+static int extract_one(const ExCfg *g, const AStr *kinds, const AStr *texts,
+                       const AStr *medias, const int *offv,
+                       const unsigned char *offbm, long long lo, long long hi,
+                       ExOut *o, Buf *mdbuf) {
+    long long n = hi - lo;
+    int rec_this_doc = 0;
+    mdbuf->len = 0;
+    /* caps accumulated across pages for the records-at-end */
+    Buf capbuf = {0, 0, 0};
+    long long *tcap_off = NULL, *fcap_off = NULL;   /* [2k]: start,end */
+    Bytes *tcap_ref = NULL, *fcap_ref = NULL;
+    long long n_tcap = 0, n_fcap = 0, cap_cap = 0;
+    long long prev_y1 = 0, prev_page = 0;
+    int have_prev = 0;
+    Bytes prev_kind = {NULL, 0};
+    int have_prev_kind = 0;
+    int rc = 0;
+
+    if (n > 0) {
+        /* decode offsets -> page/y1/x1 (floor divmod, python semantics) */
+        long long *pg = malloc((size_t)n * sizeof(long long));
+        long long *y1a = malloc((size_t)n * sizeof(long long));
+        long long *x1a = malloc((size_t)n * sizeof(long long));
+        int *order = malloc((size_t)n * sizeof(int));
+        int *tmp = malloc((size_t)n * sizeof(int));
+        if (!pg || !y1a || !x1a || !order || !tmp) {
+            free(pg); free(y1a); free(x1a); free(order); free(tmp);
+            o->oom = 1; return -1;
+        }
+        for (long long i = 0; i < n; i++) {
+            long long ov = bit_get(offbm, lo + i) ? (long long)offv[lo + i] : 0;
+            long long page = ov / g->off_page;
+            long long rem = ov - page * g->off_page;
+            if (rem < 0) { page -= 1; rem += g->off_page; }
+            pg[i] = page;
+            y1a[i] = rem / g->off_y;
+            x1a[i] = rem % g->off_y;
+            order[i] = (int)i;
+        }
+        /* stable sort by page == insertion-ordered dict + sorted keys */
+        msort(order, tmp, 0, (int)n, pg);
+        free(tmp);
+
+        /* per-page scratch (size <= n) */
+        Bytes *t_kind = malloc((size_t)n * sizeof(Bytes));
+        Bytes *t_text = malloc((size_t)n * sizeof(Bytes));
+        long long *t_y1 = malloc((size_t)n * sizeof(long long));
+        long long *t_x1 = malloc((size_t)n * sizeof(long long));
+        long long *bx2 = malloc((size_t)n * sizeof(long long));
+        long long *by2 = malloc((size_t)n * sizeof(long long));
+        int *oidx = malloc((size_t)n * sizeof(int));
+        long long *ox0 = malloc((size_t)n * sizeof(long long));
+        long long *media_i = malloc((size_t)n * sizeof(long long));
+        Buf tbuf = {0, 0, 0}, fbuf = {0, 0, 0};
+        long long *tg = malloc((size_t)(n + 1) * 2 * sizeof(long long));
+        long long *fg = malloc((size_t)(n + 1) * 2 * sizeof(long long));
+        if (!t_kind || !t_text || !t_y1 || !t_x1 || !bx2 || !by2 || !oidx
+            || !ox0 || !media_i || !tg || !fg) {
+            rc = -1; o->oom = 1; goto done_page_alloc;
+        }
+
+        for (long long s = 0; s < n; ) {
+            long long e = s;
+            long long page = pg[order[s]];
+            while (e < n && pg[order[e]] == page) e++;
+            /* classification over input order (order[] is stable) */
+            long long tn = 0, nm = 0;
+            for (long long k = s; k < e; k++) {
+                long long i = lo + order[k];
+                Bytes kind = astr_get(kinds, i);
+                if (beq(kind, (const unsigned char *)"figure", 6)
+                    || beq(kind, (const unsigned char *)"table", 5)) {
+                    media_i[nm++] = i;
+                    continue;
+                }
+                Bytes text = astr_get(texts, i);
+                long long y1 = y1a[order[k]];
+                if (beq(kind, (const unsigned char *)"equation", 8)) {
+                    text = BC(g->eq, g->eq_len);
+                } else if (beq(kind, g->unlab, g->unlab_len)) {
+                    kind = classify(g, text, page, y1);
+                    if (kind.p == K_EQ) text = BC(g->eq, g->eq_len);
+                }
+                if (beq(kind, g->irrel, g->irrel_len)) continue;
+                t_kind[tn] = kind;
+                t_text[tn] = text;
+                t_y1[tn] = y1;
+                t_x1[tn] = x1a[order[k]];
+                tn++;
+            }
+            /* boxes + xy-cut */
+            for (long long k = 0; k < tn; k++) {
+                long long ln = cp_count(t_text[k]);
+                bx2[k] = t_x1[k] + g->char_w * (ln > 0 ? ln : 1);
+                by2[k] = t_y1[k] + g->line_h;
+            }
+            long long n_tg = 0, n_fg = 0;
+            if (tn > 0) {
+                if (xy_cut_core(t_x1, t_y1, bx2, by2, (int)tn, g->gx, g->gy,
+                                oidx, ox0) != (int)tn) {
+                    rc = -1; o->oom = 1; goto done_page_alloc;
+                }
+            }
+            /* fold */
+            for (long long q = 0; q < tn; q++) {
+                long long k = oidx[q];
+                long long x0 = ox0[q];
+                long long y1 = t_y1[k], x1 = t_x1[k];
+                int new_line;
+                if (!have_prev) new_line = 1;
+                else {
+                    long long dy = (page == prev_page) ? y1 - prev_y1 : -1;
+                    new_line = (dy > g->nl_dy)
+                        || (dy <= 0 && (x1 - x0) > g->nl_dx);
+                }
+                Bytes kind = t_kind[k];
+                if (!new_line && have_prev_kind) kind = prev_kind;
+                prev_y1 = y1; prev_page = page; have_prev = 1;
+                prev_kind = kind; have_prev_kind = 1;
+                Bytes text = t_text[k];
+                if (beq(kind, (const unsigned char *)"equation", 8)) {
+                    if (g->want_markdown) {
+                        OOMCHK(buf_add(mdbuf, (const unsigned char *)"![](", 4)
+                               && buf_add(mdbuf, text.p, text.n)
+                               && buf_add(mdbuf, (const unsigned char *)")", 1)
+                               && buf_add(mdbuf, g->sep_media,
+                                          g->sep_media_len));
+                    }
+                    continue;
+                }
+                if (beq(kind, K_TABCAP, 13)) {
+                    if (new_line || n_tg == 0) {
+                        tg[n_tg * 2] = tbuf.len;
+                        OOMCHK(buf_add(&tbuf, text.p, text.n));
+                        tg[n_tg * 2 + 1] = tbuf.len;
+                        n_tg++;
+                    } else {
+                        OOMCHK(buf_add(&tbuf, text.p, text.n));
+                        tg[(n_tg - 1) * 2 + 1] = tbuf.len;
+                    }
+                    continue;
+                }
+                if (beq(kind, K_FIGCAP, 14)) {
+                    if (new_line || n_fg == 0) {
+                        fg[n_fg * 2] = fbuf.len;
+                        OOMCHK(buf_add(&fbuf, text.p, text.n));
+                        fg[n_fg * 2 + 1] = fbuf.len;
+                        n_fg++;
+                    } else {
+                        OOMCHK(buf_add(&fbuf, text.p, text.n));
+                        fg[(n_fg - 1) * 2 + 1] = fbuf.len;
+                    }
+                    continue;
+                }
+                if (new_line) {
+                    if (g->want_records) {
+                        OOMCHK(col_push(&o->rkind, kind.p, kind.n, 0)
+                               && col_push(&o->rtext, text.p, text.n, 0)
+                               && col_push(&o->rmedia, (const unsigned char *)"", 0, 0));
+                        rec_this_doc++;
+                    }
+                    if (g->want_markdown) {
+                        int is_title = beq(kind, K_TITLE, 5);
+                        OOMCHK(buf_add(mdbuf,
+                                       is_title ? g->sep_title : g->sep_para,
+                                       is_title ? g->sep_title_len
+                                                : g->sep_para_len)
+                               && buf_add(mdbuf, text.p, text.n));
+                    }
+                } else {
+                    if (g->want_markdown)
+                        OOMCHK(buf_add(mdbuf, text.p, text.n));
+                    if (g->want_records) {
+                        if (rec_this_doc > 0) {
+                            OOMCHK(col_append_last(&o->rtext, text.p, text.n));
+                        } else {
+                            OOMCHK(col_push(&o->rkind, kind.p, kind.n, 0)
+                                   && col_push(&o->rtext, text.p, text.n, 0)
+                                   && col_push(&o->rmedia, (const unsigned char *)"", 0, 0));
+                            rec_this_doc++;
+                        }
+                    }
+                }
+            }
+            /* caption <-> media positional match */
+            if (g->want_markdown)
+                OOMCHK(buf_add(mdbuf, g->page_sep, g->page_sep_len));
+            long long ti = 0, fi = 0;
+            for (int pass = 0; pass < 2; pass++) {
+                for (long long m = 0; m < nm; m++) {
+                    long long i = media_i[m];
+                    Bytes mk = astr_get(kinds, i);
+                    int is_table = beq(mk, (const unsigned char *)"table", 5);
+                    if ((pass == 0) != is_table) continue;
+                    Bytes ref = astr_get(medias, i);
+                    Bytes cap;
+                    if (is_table) {
+                        cap = (ti < n_tg)
+                            ? BC(tbuf.p + tg[ti * 2], tg[ti * 2 + 1] - tg[ti * 2])
+                            : BC(g->unmatched, g->unmatched_len);
+                        ti++;
+                    } else {
+                        cap = (fi < n_fg)
+                            ? BC(fbuf.p + fg[fi * 2], fg[fi * 2 + 1] - fg[fi * 2])
+                            : BC(g->unmatched, g->unmatched_len);
+                        fi++;
+                    }
+                    /* persist (cap, ref) for records-at-end */
+                    if (n_tcap + n_fcap + 1 > cap_cap) {
+                        long long nc = cap_cap ? cap_cap * 2 : 64;
+                        long long *nt = realloc(tcap_off,
+                                                (size_t)nc * 2 * sizeof(long long));
+                        long long *nf = realloc(fcap_off,
+                                                (size_t)nc * 2 * sizeof(long long));
+                        Bytes *rt = realloc(tcap_ref, (size_t)nc * sizeof(Bytes));
+                        Bytes *rf = realloc(fcap_ref, (size_t)nc * sizeof(Bytes));
+                        if (!nt || !nf || !rt || !rf) {
+                            tcap_off = nt ? nt : tcap_off;
+                            fcap_off = nf ? nf : fcap_off;
+                            tcap_ref = rt ? rt : tcap_ref;
+                            fcap_ref = rf ? rf : fcap_ref;
+                            rc = -1; o->oom = 1; goto done_page_alloc;
+                        }
+                        tcap_off = nt; fcap_off = nf;
+                        tcap_ref = rt; fcap_ref = rf;
+                        cap_cap = nc;
+                    }
+                    long long cs = capbuf.len;
+                    OOMCHK(buf_add(&capbuf, cap.p, cap.n));
+                    if (is_table) {
+                        tcap_off[n_tcap * 2] = cs;
+                        tcap_off[n_tcap * 2 + 1] = capbuf.len;
+                        tcap_ref[n_tcap] = ref;
+                        n_tcap++;
+                    } else {
+                        fcap_off[n_fcap * 2] = cs;
+                        fcap_off[n_fcap * 2 + 1] = capbuf.len;
+                        fcap_ref[n_fcap] = ref;
+                        n_fcap++;
+                    }
+                    if (g->want_markdown) {
+                        if (is_table) {
+                            OOMCHK(buf_add(mdbuf, cap.p, cap.n)
+                                   && buf_add(mdbuf, g->sep_media, g->sep_media_len)
+                                   && buf_add(mdbuf, (const unsigned char *)"![](", 4)
+                                   && buf_add(mdbuf, ref.p, ref.n)
+                                   && buf_add(mdbuf, (const unsigned char *)")", 1)
+                                   && buf_add(mdbuf, g->sep_media, g->sep_media_len));
+                        } else {
+                            OOMCHK(buf_add(mdbuf, (const unsigned char *)"![](", 4)
+                                   && buf_add(mdbuf, ref.p, ref.n)
+                                   && buf_add(mdbuf, (const unsigned char *)")", 1)
+                                   && buf_add(mdbuf, g->sep_media, g->sep_media_len)
+                                   && buf_add(mdbuf, cap.p, cap.n)
+                                   && buf_add(mdbuf, g->sep_media, g->sep_media_len));
+                        }
+                    }
+                }
+            }
+            s = e;
+        }
+done_page_alloc:
+        free(t_kind); free(t_text); free(t_y1); free(t_x1);
+        free(bx2); free(by2); free(oidx); free(ox0); free(media_i);
+        free(tbuf.p); free(fbuf.p); free(tg); free(fg);
+        free(pg); free(y1a); free(x1a); free(order);
+        if (rc) {
+            free(capbuf.p); free(tcap_off); free(fcap_off);
+            free(tcap_ref); free(fcap_ref);
+            return rc;
+        }
+    }
+    /* records-at-end: table_caps then figure_caps */
+    if (g->want_records) {
+        for (long long t = 0; t < n_tcap; t++) {
+            if (!(col_push(&o->rkind, K_TABCAP, 13, 0)
+                  && col_push(&o->rtext, capbuf.p + tcap_off[t * 2],
+                              tcap_off[t * 2 + 1] - tcap_off[t * 2], 0)
+                  && col_push(&o->rmedia, tcap_ref[t].p, tcap_ref[t].n, 0))) {
+                o->oom = 1; rc = -1; goto done_caps;
+            }
+            rec_this_doc++;
+        }
+        for (long long t = 0; t < n_fcap; t++) {
+            if (!(col_push(&o->rkind, K_FIGCAP, 14, 0)
+                  && col_push(&o->rtext, capbuf.p + fcap_off[t * 2],
+                              fcap_off[t * 2 + 1] - fcap_off[t * 2], 0)
+                  && col_push(&o->rmedia, fcap_ref[t].p, fcap_ref[t].n, 0))) {
+                o->oom = 1; rc = -1; goto done_caps;
+            }
+            rec_this_doc++;
+        }
+    }
+    if (!push_count_ex(o, rec_this_doc)) { o->oom = 1; rc = -1; }
+    if (!rc && !col_push(&o->md, mdbuf->p, g->want_markdown ? mdbuf->len : 0,
+                         0)) {
+        o->oom = 1; rc = -1;
+    }
+done_caps:
+    free(capbuf.p); free(tcap_off); free(fcap_off);
+    free(tcap_ref); free(fcap_ref);
+    return rc;
+}
+
+void free_exout(ExOut *o) {
+    if (!o) return;
+    free(o->rkind.vals); free(o->rkind.offs); free(o->rkind.valid);
+    free(o->rtext.vals); free(o->rtext.offs); free(o->rtext.valid);
+    free(o->rmedia.vals); free(o->rmedia.offs); free(o->rmedia.valid);
+    free(o->md.vals); free(o->md.offs); free(o->md.valid);
+    free(o->counts);
+    free(o);
+}
+
+/* batch entry: doc list offsets select child ranges per doc */
+ExOut *extract_batch(const ExCfg *g,
+                     const unsigned char *kv, const int *ko, const unsigned char *kb,
+                     const unsigned char *tv, const int *to, const unsigned char *tb,
+                     const unsigned char *mv, const int *mo, const unsigned char *mb,
+                     const int *offv, const unsigned char *offb,
+                     const int *list_offs, const unsigned char *list_bm,
+                     long long n_docs) {
+    ExOut *o = calloc(1, sizeof(ExOut));
+    if (!o) return NULL;
+    AStr kinds = {kv, ko, kb}, texts = {tv, to, tb}, medias = {mv, mo, mb};
+    Buf mdbuf = {0, 0, 0};
+    for (long long d = 0; d < n_docs; d++) {
+        long long lo, hi;
+        if (!bit_get(list_bm, d)) { lo = 0; hi = 0; }   /* null spans */
+        else { lo = list_offs[d]; hi = list_offs[d + 1]; }
+        if (extract_one(g, &kinds, &texts, &medias, offv, offb, lo, hi,
+                        o, &mdbuf) != 0) {
+            free(mdbuf.p);
+            return o;   /* o->oom set; caller falls back */
+        }
+    }
+    free(mdbuf.p);
+    return o;
+}
+
 """
 
 _LIB = None
@@ -579,6 +1066,7 @@ def _build_lib():
                                ctypes.c_longlong, LL]
         lib.xy_cut.restype = ctypes.c_int
         _wire_protos(lib)
+        _ex_protos(lib)
         return lib
     except Exception:  # noqa: BLE001 — any failure means "use Python"
         return None
@@ -729,3 +1217,157 @@ def parse_shard_batch(data: bytes):
     batch = pa.RecordBatch.from_arrays(
         [doc_ids, spans, counts_arr], ["doc_id", "spans", "n_spans"])
     return batch, corrupt
+
+
+class _ExCfg(ctypes.Structure):
+    _fields_ = ([(f, ctypes.c_longlong) for f in
+                 ("header_y", "title_y", "nl_dy", "nl_dx", "char_w",
+                  "line_h", "gx", "gy", "off_page", "off_y")]
+                + sum([[(f, ctypes.POINTER(ctypes.c_ubyte)),
+                        (f + "_len", ctypes.c_longlong)] for f in
+                       ("eq", "unlab", "irrel", "sep_title", "sep_para",
+                        "sep_media", "page_sep", "unmatched")], [])
+                + [("want_records", ctypes.c_int),
+                   ("want_markdown", ctypes.c_int)])
+
+
+class _ExOut(ctypes.Structure):
+    _fields_ = [("rkind", _StrCol), ("rtext", _StrCol), ("rmedia", _StrCol),
+                ("counts", ctypes.POINTER(ctypes.c_int)),
+                ("counts_cap", ctypes.c_longlong),
+                ("n_docs", ctypes.c_longlong),
+                ("md", _StrCol), ("oom", ctypes.c_int)]
+
+
+def _ex_protos(lib) -> None:
+    U8 = ctypes.POINTER(ctypes.c_ubyte)
+    I32 = ctypes.POINTER(ctypes.c_int)
+    lib.extract_batch.argtypes = [ctypes.POINTER(_ExCfg)] + \
+        [U8, I32, U8] * 3 + [I32, U8, I32, U8, ctypes.c_longlong]
+    lib.extract_batch.restype = ctypes.POINTER(_ExOut)
+    lib.free_exout.argtypes = [ctypes.POINTER(_ExOut)]
+    lib.free_exout.restype = None
+
+
+_EX_CONST = None
+
+
+def _ex_cfg(want_records: bool, want_markdown: bool):
+    """Build the C config; the bytes objects must outlive the call, so the
+    encoded constants are cached on the module."""
+    global _EX_CONST
+    from . import constants as C
+
+    if _EX_CONST is None:
+        _EX_CONST = {k: getattr(C, v).encode("utf-8") for k, v in
+                     (("eq", "EQUATION_TEXT"), ("unlab", "UNLABELED"),
+                      ("irrel", "IRRELEVANT"), ("sep_title", "SEP_TITLE"),
+                      ("sep_para", "SEP_PARA"), ("sep_media", "SEP_MEDIA"),
+                      ("page_sep", "PAGE_SEP"),
+                      ("unmatched", "UNMATCHED_CAPTION"))}
+    cfg = _ExCfg()
+    cfg.header_y = C.HEADER_Y_MAX
+    cfg.title_y = C.TITLE_Y_MAX
+    cfg.nl_dy = C.NEWLINE_DY
+    cfg.nl_dx = C.NEWLINE_DX
+    cfg.char_w = C.CHAR_W
+    cfg.line_h = C.LINE_H
+    cfg.gx = C.XY_MIN_GAP_X
+    cfg.gy = C.XY_MIN_GAP_Y
+    cfg.off_page = C.OFFSET_PAGE
+    cfg.off_y = C.OFFSET_Y
+    for name, raw in _EX_CONST.items():
+        setattr(cfg, name,
+                ctypes.cast(ctypes.c_char_p(raw),
+                            ctypes.POINTER(ctypes.c_ubyte)))
+        setattr(cfg, name + "_len", len(raw))
+    cfg.want_records = int(want_records)
+    cfg.want_markdown = int(want_markdown)
+    return cfg
+
+
+def _addr(buf, typ):
+    if buf is None:
+        return ctypes.cast(0, typ)
+    return ctypes.cast(buf.address, typ)
+
+
+def extract_batch(batch, want_spans: bool, want_md: bool):
+    """RecordBatch (doc_id, spans) → extraction-output RecordBatch via the
+    C kernel, or None to fall back to the Python path (no library, sliced
+    arrays, dictionary-encoded columns, zero rows, or OOM inside C)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    import numpy as np
+    import pyarrow as pa
+
+    n_docs = batch.num_rows
+    if n_docs == 0:
+        return None
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    if spans.offset != 0:
+        return None
+    vals = spans.values
+    if vals.offset != 0:
+        return None
+    fields = [vals.field(n) for n in ("kind", "text", "media_ref", "offset")]
+    for a in fields[:3]:
+        if a.offset != 0 or a.type != pa.string():
+            return None
+    if fields[3].offset != 0 or fields[3].type != pa.int32():
+        return None
+
+    U8 = ctypes.POINTER(ctypes.c_ubyte)
+    I32 = ctypes.POINTER(ctypes.c_int)
+    args = []
+    for a in fields[:3]:
+        validity, offs, data = a.buffers()
+        args += [_addr(data, U8), _addr(offs, I32), _addr(validity, U8)]
+    ovalidity, odata = fields[3].buffers()
+    args += [_addr(odata, I32), _addr(ovalidity, U8)]
+    lvalidity, loffs = spans.buffers()[:2]
+    args += [_addr(loffs, I32), _addr(lvalidity, U8), n_docs]
+    cfg = _ex_cfg(want_spans, want_md)
+    po = lib.extract_batch(ctypes.byref(cfg), *args)
+    if not po:
+        return None
+    try:
+        O = po.contents
+        if O.oom or int(O.n_docs) != n_docs:
+            return None
+        counts = np.ctypeslib.as_array(O.counts, shape=(n_docs,)).copy()
+        if want_spans:
+            kinds = _str_array(O.rkind, pa, np)
+            texts = _str_array(O.rtext, pa, np)
+            medias = _str_array(O.rmedia, pa, np)
+        if want_md:
+            md = _str_array(O.md, pa, np)
+    finally:
+        lib.free_exout(po)
+
+    doc_ids = batch.column("doc_id")
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    out_cols = [doc_ids]
+    out_names = ["doc_id"]
+    if want_spans:
+        total = int(counts.sum())
+        loffs_np = np.zeros(n_docs + 1, dtype=np.int32)
+        counts64 = counts.astype(np.int64)
+        loffs_np[1:] = counts64.cumsum().astype(np.int32)
+        # offset column = position within the doc's records list
+        starts = np.repeat(loffs_np[:-1].astype(np.int64), counts64)
+        orders = (np.arange(total, dtype=np.int64) - starts).astype(np.int32)
+        struct = pa.StructArray.from_arrays(
+            [kinds, texts, medias, pa.array(orders, pa.int32())],
+            names=["kind", "text", "media_ref", "offset"])
+        out_cols.append(pa.ListArray.from_arrays(
+            pa.array(loffs_np, pa.int32()), struct))
+        out_names.append("spans")
+    if want_md:
+        out_cols.append(md)
+        out_names.append("markdown")
+    return pa.RecordBatch.from_arrays(out_cols, names=out_names)

@@ -112,6 +112,7 @@ def _extract_arrow(it, columns: tuple[str, ...] = ("spans", "markdown")):
     import pyarrow as pa
 
     from . import kernel
+    from . import native
 
     def low_card_strs(arr):
         # kind/media_ref are low-cardinality ("text", "", doc-local refs):
@@ -122,7 +123,18 @@ def _extract_arrow(it, columns: tuple[str, ...] = ("spans", "markdown")):
         pool = np.array(enc.dictionary.to_pylist(), dtype=object)
         return pool[enc.indices.to_numpy(zero_copy_only=False)].tolist()
 
+    use_native = native.available()
     for batch in it:
+        if use_native:
+            # whole-batch C kernel (classification + XY-cut + fold over the
+            # Arrow buffers directly — round 7; bit-identical, differential-
+            # pinned in tests/test_kernel.py); None → sliced/dictionary/
+            # empty/OOM edge, fall through to the Python twin
+            out = native.extract_batch(
+                batch, "spans" in columns, "markdown" in columns)
+            if out is not None:
+                yield out
+                continue
         doc_ids = batch.column("doc_id")
         spans = batch.column("spans")
         if isinstance(spans, pa.ChunkedArray):  # normalize
