@@ -66,14 +66,25 @@ def test_sim_topk_broadcasts_query_side(spark):
 
 
 def test_dedup_embedding_cosine_is_bucketed(spark):
-    """Near-dup cosine must join on LSH band keys — never an all-pairs
-    nested-loop/cartesian over the corpus (round-1 verdict item #4)."""
+    """Near-dup cosine must be LSH-bucketed — never an all-pairs
+    nested-loop/cartesian over the corpus (round-1 verdict item #4).
+    Round 7: the bucket self-join is gone too — candidates are scored by
+    the bucket-local matmul (one FlatMapGroupsInPandas over the (band,
+    bkey) exchange), so NO join node remains and vectors cross exactly one
+    keyed exchange (per band membership) instead of two join sides plus a
+    per-pair ArrowEvalPython stream."""
     from ch_pdf_parse_spark.operators.similarity import dedup_embedding_cosine
 
     plan = _formatted(dedup_embedding_cosine(spark, "/root/testdata/sf0.001"))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan), plan
+    assert not re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+                         plan), plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    # exactly one keyed exchange carries vectors: hashpartitioning on the
+    # scalar (band, bkey) pair; the only other keyed exchange is the narrow
+    # (id_l, id_r) max() dedup
+    assert re.search(r"hashpartitioning\(band", plan), plan
 
 
 def test_sim_ann_ivf_joins_on_cell(spark):

@@ -66,6 +66,62 @@ def test_sim_topk_matmul_equals_pairjoin(spark):
         assert got == want
 
 
+def test_dedup_bucket_matmul_equals_pairjoin(spark):
+    """The r7 bucket-local matmul scorer must emit the exact same
+    (id_l, id_r, max c) set as the old bucket self-join + per-pair pandas
+    cosine, at full float64 precision and after the 2-dp quantization, on
+    both test scales (incl. the 0.5×-scaled injected dups)."""
+    from pyspark.sql import functions as F
+
+    from ch_pdf_parse_spark.operators.similarity import (
+        N_PLANES_DEDUP, _banded_pair_scores, _bucket_pair_scores,
+        _dedup_corpus, _lsh_buckets, _sig_bits_dedup, quantize)
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        buckets = _lsh_buckets(_dedup_corpus(spark, sf_dir),
+                               _sig_bits_dedup, N_PLANES_DEDUP)
+        new = _bucket_pair_scores(buckets, min_score=0.95)
+        old = _banded_pair_scores(buckets, buckets, lambda a, b: a < b,
+                                  min_score=0.95)
+        got = {(r.id_l, r.id_r, r.q) for r in new.select(
+            "id_l", "id_r", quantize("c", 2).alias("q")).collect()}
+        want = {(r.id_l, r.id_r, r.q) for r in old.select(
+            "id_l", "id_r", quantize("c", 2).alias("q")).collect()}
+        assert len(want) > 0
+        assert got == want
+
+
+def test_bucket_matmul_edge_rows(spark):
+    """NULL vec_id rows pair with nothing (the old `<` predicate semantics),
+    duplicate vec_ids never pair with each other, and sub-threshold buckets
+    emit nothing."""
+    from pyspark.sql import types as T
+
+    from ch_pdf_parse_spark.operators.similarity import _bucket_pair_scores
+
+    rows = [
+        # one bucket: two colinear vectors (cos=1), a NULL id colinear row,
+        # and a duplicate id pair (colinear — must NOT pair with itself)
+        (None, [1.0, 0.0], 0, 3),
+        (7, [2.0, 0.0], 0, 3),
+        (9, [4.0, 0.0], 0, 3),
+        (9, [8.0, 0.0], 0, 3),
+        # another bucket: orthogonal vectors only -> no pairs
+        (1, [1.0, 0.0], 1, 5),
+        (2, [0.0, 1.0], 1, 5),
+    ]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("v", T.ArrayType(T.DoubleType())),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bkey", T.IntegerType()),
+    ])
+    buckets = spark.createDataFrame(rows, schema)
+    got = {(r.id_l, r.id_r, round(r.c, 9))
+           for r in _bucket_pair_scores(buckets, 0.95).collect()}
+    assert got == {(7, 9, 1.0)}
+
+
 def test_lsh_sign_margins_dwarf_float_error(spark):
     """The module-docstring determinism argument is a MARGIN argument: sign
     bits agree across engines because no corpus vector sits within float64
