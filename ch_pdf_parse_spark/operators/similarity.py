@@ -204,7 +204,8 @@ def _banded_pair_scores(left: DataFrame, right: DataFrame, pair_pred,
     return scored.groupBy("id_l", "id_r").agg(F.max("c").alias("c"))
 
 
-def _bucket_pair_scores(buckets: DataFrame, min_score: float) -> DataFrame:
+def _bucket_pair_scores(buckets: DataFrame, min_score: float,
+                        block: int | None = None) -> DataFrame:
     """Self-join-free twin of ``_banded_pair_scores(b, b, <, min_score)``:
     every unordered (id_l < id_r) pair within each (band, bkey) LSH bucket,
     scored by ONE bucket-local float64 matmul (round 7, guide §4.2/§2.3).
@@ -226,8 +227,9 @@ def _bucket_pair_scores(buckets: DataFrame, min_score: float) -> DataFrame:
 
     Memory: one bucket materializes per task — O(corpus/2ᵇᵃⁿᵈ⁻ᵇⁱᵗˢ) rows,
     the same per-key working set the sort-merge join buffered for its right
-    group; the score matrix is computed in row blocks so transient memory
-    is O(block × bucket), never O(bucket²)."""
+    group; the score matrix is computed in row blocks (auto-sized so the
+    block × bucket float64 matrix stays ≲128 MB; ``block`` overrides for
+    tests) so transient memory never reaches O(bucket²)."""
     from pyspark.sql import types as T
 
     schema = T.StructType([
@@ -235,7 +237,7 @@ def _bucket_pair_scores(buckets: DataFrame, min_score: float) -> DataFrame:
         T.StructField("id_r", T.LongType()),
         T.StructField("c", T.DoubleType()),
     ])
-    block = 2048
+    fixed_block = block
 
     def _score(pdf):
         import numpy as np
@@ -261,6 +263,10 @@ def _bucket_pair_scores(buckets: DataFrame, min_score: float) -> DataFrame:
         # of its own id (strict `<` on ids, computed once on the sorted ids)
         jstart = np.searchsorted(ids, ids, side="right")
         cols = np.arange(n)[None, :]
+        # block × bucket score matrix capped at ~128 MB float64 whatever the
+        # bucket width (a fixed row block over a very wide bucket would
+        # otherwise hold block × n doubles transiently)
+        block = fixed_block or max(64, min(2048, (128 << 20) // (8 * n)))
         out_l, out_r, out_c = [], [], []
         for s in range(0, n, block):
             e = min(s + block, n)

@@ -80,15 +80,19 @@ def test_dedup_bucket_matmul_equals_pairjoin(spark):
     for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         buckets = _lsh_buckets(_dedup_corpus(spark, sf_dir),
                                _sig_bits_dedup, N_PLANES_DEDUP)
-        new = _bucket_pair_scores(buckets, min_score=0.95)
         old = _banded_pair_scores(buckets, buckets, lambda a, b: a < b,
                                   min_score=0.95)
-        got = {(r.id_l, r.id_r, r.q) for r in new.select(
-            "id_l", "id_r", quantize("c", 2).alias("q")).collect()}
         want = {(r.id_l, r.id_r, r.q) for r in old.select(
             "id_l", "id_r", quantize("c", 2).alias("q")).collect()}
         assert len(want) > 0
-        assert got == want
+        # default (single-block at these bucket widths) AND a forced tiny
+        # block so the multi-block loop — the path wide production buckets
+        # take — is pinned too
+        for block in (None, 16):
+            new = _bucket_pair_scores(buckets, min_score=0.95, block=block)
+            got = {(r.id_l, r.id_r, r.q) for r in new.select(
+                "id_l", "id_r", quantize("c", 2).alias("q")).collect()}
+            assert got == want, block
 
 
 def test_bucket_matmul_edge_rows(spark):

@@ -146,6 +146,14 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("check-queries", shuffle_partitions=16)
+    # ship the package zip to python workers up front: queries built on
+    # module-level pandas_udfs (similarity sig bits, tokenizer, ...) pickle
+    # those functions BY REFERENCE, so a worker must be able to import
+    # ch_pdf_parse_spark even when this tool is driven from a cwd outside
+    # /root/repo (only extract_documents ships the zip on its own)
+    from ch_pdf_parse_spark.packaging import ensure_on_executors
+
+    ensure_on_executors(spark)
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
