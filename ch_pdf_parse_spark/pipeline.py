@@ -279,14 +279,34 @@ def extract_documents(
     # min/max row-group pruning makes the second pass near-free (at 10^12 docs
     # the salted long tail is <0.1% of files). Fallback: compute size(spans).
     n = F.col("n_spans") if "n_spans" in docs.columns else F.size("spans")
+    # Source-side routing pushdown (round 7): a source whose scan is opaque
+    # to Catalyst (the wire parse lives inside a mapInArrow) can offer the
+    # oversized predicate itself — `_chpdf_wire_over(threshold)` returns the
+    # parsed rows of only the shards whose sidecar max n_spans exceeds the
+    # threshold (sources/wireformat.py), or None to decline. Without it the
+    # big branch re-executes the FULL scan+parse to keep its (usually zero)
+    # rows. Identical rows either way; the hook only prunes the second pass.
+    wire_over = getattr(docs, "_chpdf_wire_over", None)
     docs = docs.select("doc_id", "spans")
     # null spans rows must route somewhere (n is null ⇒ BOTH branch
     # predicates are unknown and the doc would silently vanish): they take
     # the small branch and extract to (empty spans, empty markdown)
     small = docs.where((n <= salt_threshold) | n.isNull())
-    big = docs.where(n > salt_threshold)
-
     small_out = small.mapInArrow(partial(_extract_arrow, columns=cols), schema)
+
+    big = None
+    if wire_over is not None:
+        pruned = wire_over(salt_threshold)
+        if pruned is not None:
+            if getattr(pruned, "_chpdf_known_empty", False):
+                # the source proved NO record can route big: the salted
+                # branch contributes zero rows, so the union is the small
+                # branch — skip planning the empty explode/groupBy subtree
+                return small_out
+            big = (pruned.where(F.col("n_spans") > salt_threshold)
+                   .select("doc_id", "spans"))
+    if big is None:
+        big = docs.where(n > salt_threshold)
 
     off = F.coalesce(F.col("s.offset"), F.lit(0))  # null geometry ≡ origin
     exploded = (

@@ -399,6 +399,95 @@ def parse_shard(data: bytes) -> tuple[list[tuple[str | None, list | None]], int]
 
 # ---------------------------------------------------------------- Spark IO
 
+SPANSTATS_NAME = "_SPANSTATS"
+_SPANSTATS_MAGIC = b"CPWS1\n"
+
+_WRITE_STATS_SCHEMA = T.StructType(
+    STATS_SCHEMA.fields + [T.StructField("max_spans", T.IntegerType())])
+
+
+def _write_spanstats(out_dir: str, entries) -> None:
+    """Per-shard max ``n_spans`` sidecar (round 7, guide §6): the wire
+    format's analog of parquet column min/max statistics. ``entries`` is
+    [(shard filename, max non-null span count, -1 if none)]. Deterministic
+    bytes (sorted lines), crc32-footed so a corrupted sidecar degrades to
+    "no statistics" (full scan), never to wrong pruning."""
+    names = [n for n, _ in entries]
+    if any("\t" in n or "\n" in n for n in names):
+        return  # un-encodable filenames: skip stats, readers fall back
+    body = "".join(f"{n}\t{mx}\n" for n, mx in sorted(entries)).encode("utf-8")
+    data = _SPANSTATS_MAGIC + body + b"crc:%08x\n" % zlib.crc32(body)
+    path = os.path.join(out_dir, SPANSTATS_NAME)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def _read_spanstats(dir_path: str) -> dict[str, int] | None:
+    """{shard filename: max n_spans} from the sidecar, or None when it is
+    absent, unreadable, or fails its crc — every failure means "no
+    statistics", so pruning silently degrades to the full scan."""
+    try:
+        with open(os.path.join(dir_path, SPANSTATS_NAME), "rb") as f:
+            data = f.read()
+        if not data.startswith(_SPANSTATS_MAGIC):
+            return None
+        rest = data[len(_SPANSTATS_MAGIC):]
+        body, sep, tail = rest.rpartition(b"crc:")
+        if not sep or not tail.endswith(b"\n"):
+            return None
+        if int(tail[:-1], 16) != zlib.crc32(body):
+            return None
+        out: dict[str, int] = {}
+        for line in body.decode("utf-8").splitlines():
+            name, sep2, mx = line.rpartition("\t")
+            if not sep2:
+                return None
+            out[name] = int(mx)
+        return out
+    except (OSError, ValueError, UnicodeDecodeError):
+        return None
+
+
+def _wire_docs_over(spark: SparkSession, path: str,
+                    min_spans: int) -> DataFrame | None:
+    """Parsed `documents` rows restricted to shards that can contain a
+    record with ``n_spans > min_spans``, per the ``_SPANSTATS`` sidecar —
+    the wire twin of parquet row-group pruning for the oversized-doc
+    routing predicate (pipeline.extract_documents' salted branch).
+
+    Returns None when the sidecar is absent/invalid or does not cover
+    every ``.cpw`` file present (foreign or hand-built dirs): the caller
+    must fall back to the full scan + filter, which is always correct.
+    Rows with NULL ``n_spans`` never qualify (they route to the small
+    branch), matching a strict ``n_spans > min_spans`` filter exactly."""
+    stats = _read_spanstats(path)
+    if stats is None:
+        return None
+    try:
+        present = sorted(
+            f for f in os.listdir(path) if f.endswith(".cpw"))
+    except OSError:
+        return None
+    if any(f not in stats for f in present):
+        return None
+    keep = [os.path.join(path, f) for f in present if stats[f] > min_spans]
+    if not keep:
+        # no shard can hold a qualifying record: hand back a provably-empty
+        # frame (empty LocalRelation via limit(0)) and SAY so — the marker
+        # lets extract_documents drop its salted branch and the union
+        # altogether instead of planning empty exchanges under the
+        # FlatMapGroupsInPandas nodes PropagateEmptyRelation cannot fold
+        empty = spark.createDataFrame([], DOC_SCHEMA).limit(0)
+        empty._chpdf_known_empty = True
+        return empty
+    binary = (spark.read.format("binaryFile")
+              .option("pathGlobFilter", "*.cpw").load(keep)
+              .select("path", "content"))
+    return parse_wire_binary(binary)
+
+
 def write_wire_shards(docs: DataFrame, out_dir: str, n_shards: int = 8) -> int:
     """Spark-parallel shard writer: one task per shard, deterministic bytes.
 
@@ -406,6 +495,11 @@ def write_wire_shards(docs: DataFrame, out_dir: str, n_shards: int = 8) -> int:
     path visible to the executors (local-mode sandbox: any local dir; a real
     cluster points this at shared storage — the tmp+rename publish keeps
     retried tasks idempotent either way).
+
+    Also publishes the ``_SPANSTATS`` sidecar (per-shard max ``n_spans`` —
+    see ``_write_spanstats``). The driver-side collect behind it is one row
+    per shard: the same O(n_shards) driver bound every file listing of the
+    directory already pays.
     """
     os.makedirs(out_dir, exist_ok=True)
     sharded = docs.select(
@@ -422,11 +516,14 @@ def write_wire_shards(docs: DataFrame, out_dir: str, n_shards: int = 8) -> int:
         # "bytes are a pure function of (corpus, n_shards)" contract this
         # writer documents. Tie-break on the encoded record bytes.
         recs = []
+        max_spans = -1  # max non-null span count (NULL spans never route big)
         for d, s in zip(pdf["doc_id"], pdf["spans"]):
             d = None if pd.isna(d) else d
             # a NULL array column reaches pandas as None (or NaN on some
             # Arrow paths) — both mean "spans is NULL", not "empty"
             s = None if s is None or isinstance(s, float) else s
+            if s is not None and len(s) > max_spans:
+                max_spans = len(s)
             recs.append((d is not None, d or "", encode_record(d, s)))
         recs.sort()
         # no _U32 here: a struct.Struct in the closure breaks cloudpickle
@@ -440,10 +537,14 @@ def write_wire_shards(docs: DataFrame, out_dir: str, n_shards: int = 8) -> int:
         return pd.DataFrame({"shard_path": [path],
                              "n_records": [len(pdf)],
                              "n_corrupt": [0],
-                             "n_bytes": [len(data)]})
+                             "n_bytes": [len(data)],
+                             "max_spans": [max_spans]})
 
-    stats = sharded.groupBy("shard").applyInPandas(_write, STATS_SCHEMA)
-    return stats.count()
+    stats = sharded.groupBy("shard").applyInPandas(_write, _WRITE_STATS_SCHEMA)
+    rows = stats.collect()
+    _write_spanstats(out_dir, [(os.path.basename(r["shard_path"]),
+                                int(r["max_spans"])) for r in rows])
+    return len(rows)
 
 
 _ARROW_SPAN = None  # built lazily: pa import stays off the module import path
@@ -533,8 +634,23 @@ def read_wire(spark: SparkSession, path: str) -> DataFrame:
     ``pipeline.extract_documents`` is the full raw-bytes S1 lifecycle.
     Corrupt records are dropped per-record (see parse_shard); audit the drop
     count with ``wire_scan_stats`` — same scan, stats projection.
-    """
-    return parse_wire_binary(_binary_scan(spark, path))
+
+    Round 7: the returned frame carries a source-side routing-pushdown hook
+    (``_chpdf_wire_over``) that ``pipeline.extract_documents`` uses for its
+    oversized-doc branch: with the parquet source that branch's
+    ``n_spans > threshold`` predicate reaches the scan and row-group min/max
+    stats make the second pass near-free, but a mapInArrow parse is opaque
+    to Catalyst, so the wire source re-scanned and re-parsed EVERY shard to
+    find the (<0.1%, usually zero) oversized docs. The hook serves the same
+    predicate from the ``_SPANSTATS`` sidecar (``_wire_docs_over``),
+    scanning only shards whose max ``n_spans`` exceeds the threshold —
+    identical rows by construction, full-scan fallback whenever the sidecar
+    is absent or incomplete. Any transformation on the frame drops the hook
+    (it is valid only for these exact parsed rows)."""
+    df = parse_wire_binary(_binary_scan(spark, path))
+    df._chpdf_wire_over = (
+        lambda min_spans: _wire_docs_over(spark, path, min_spans))
+    return df
 
 
 def wire_scan_stats(spark: SparkSession, path: str) -> DataFrame:

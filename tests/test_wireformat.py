@@ -158,3 +158,85 @@ def test_crc_catches_payload_tamper():
     records, corrupt = wf.parse_shard(bytes(body))
     assert records == [] and corrupt >= 1
     assert zlib.crc32(b"") == 0  # sanity: zlib present
+
+
+# ------------------------------------------------------- _SPANSTATS sidecar
+
+
+def _out_key(rows):
+    return sorted((r["doc_id"],
+                   tuple(map(tuple, r["spans"])) if r["spans"] is not None
+                   else None,
+                   r["markdown"]) for r in rows)
+
+
+def test_spanstats_sidecar_written_and_true_bound(spark, docs_df, wire_dir):
+    stats = wf._read_spanstats(wire_dir)
+    assert stats is not None
+    shards = sorted(f for f in os.listdir(wire_dir) if f.endswith(".cpw"))
+    assert sorted(stats) == shards
+    # each entry is the exact max non-null span count of its shard
+    for f in shards:
+        records, _ = wf.parse_shard(
+            open(os.path.join(wire_dir, f), "rb").read())
+        want = max((len(s) for _, s in records if s is not None), default=-1)
+        assert stats[f] == want
+
+
+def test_wire_big_branch_pruned_by_sidecar(spark, docs_df, wire_dir):
+    """extract_documents' oversized branch must NOT re-scan every shard when
+    the sidecar proves none can qualify: exactly one binaryFile scan in the
+    plan (the generic fallback has two), identical output."""
+    wired = wf.read_wire(spark, wire_dir)
+    plan = extract_documents(wired)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("binaryFile") == 1, plan
+    got = _out_key(extract_documents(wf.read_wire(spark, wire_dir)).collect())
+    # stripping the hook (any transformation) falls back to the full
+    # double-scan route — the semantics yardstick
+    want = _out_key(extract_documents(
+        wf.read_wire(spark, wire_dir).select(
+            "doc_id", "spans", "n_spans")).collect())
+    assert got == want
+
+
+def test_wire_pruned_salted_route_equal(spark, docs_df, wire_dir):
+    """With a threshold that genuinely splits the corpus, the pruned big
+    branch must feed the salted path the exact same oversized docs."""
+    got = _out_key(extract_documents(
+        wf.read_wire(spark, wire_dir), salt_threshold=1).collect())
+    want = _out_key(extract_documents(
+        wf.read_wire(spark, wire_dir).select("doc_id", "spans", "n_spans"),
+        salt_threshold=1).collect())
+    assert got == want
+
+
+def test_wire_sidecar_fallbacks(spark, docs_df, wire_dir, tmp_path):
+    """Absent, corrupted, and incomplete sidecars all degrade to the full
+    scan (never to wrong pruning)."""
+    out = str(tmp_path / "nostats")
+    os.makedirs(out)
+    shards = sorted(f for f in os.listdir(wire_dir) if f.endswith(".cpw"))
+    for f in shards:
+        open(os.path.join(out, f), "wb").write(
+            open(os.path.join(wire_dir, f), "rb").read())
+    want = _out_key(extract_documents(
+        wf.read_wire(spark, wire_dir), salt_threshold=1).collect())
+    # absent
+    assert wf._read_spanstats(out) is None
+    assert _out_key(extract_documents(
+        wf.read_wire(spark, out), salt_threshold=1).collect()) == want
+    # corrupted (one flipped byte -> crc rejects -> full scan)
+    wf._write_spanstats(out, [(f, 0) for f in shards])  # wrong bounds...
+    data = bytearray(
+        open(os.path.join(out, wf.SPANSTATS_NAME), "rb").read())
+    data[8] ^= 0xFF
+    open(os.path.join(out, wf.SPANSTATS_NAME), "wb").write(bytes(data))
+    assert wf._read_spanstats(out) is None  # ...never consulted: crc fails
+    assert _out_key(extract_documents(
+        wf.read_wire(spark, out), salt_threshold=1).collect()) == want
+    # incomplete (valid sidecar missing one present shard -> fall back)
+    wf._write_spanstats(out, [(f, 10 ** 9) for f in shards[1:]])
+    assert wf._wire_docs_over(spark, out, 1) is None
+    assert _out_key(extract_documents(
+        wf.read_wire(spark, out), salt_threshold=1).collect()) == want
