@@ -42,6 +42,14 @@ Why this shape scales to 10^12 documents:
   pure function of (corpus, n_shards) — resumable re-writes produce
   identical shards (idempotent overwrite; tmp + atomic rename per file
   keeps retried/speculative tasks from publishing partial shards).
+* **Directory-level statistics (round 7).** The writer publishes a
+  ``_SPANSTATS`` sidecar (per-shard max non-null ``n_spans``,
+  crc32-footed, deterministic bytes) — the wire analog of parquet
+  row-group min/max stats. ``extract_documents``' oversized-doc routing
+  uses it to scan only the shards that can contain a doc above the salt
+  threshold (<0.1% of files at 10^12 docs) instead of re-parsing the
+  whole corpus; readers of dirs without a (complete, valid) sidecar fall
+  back to the full scan.
 * **Decode cost is the honest floor.** Parsing is per-record Python over raw
   bytes inside ``mapInArrow`` (the parser emits flat columns and builds the
   Arrow batch directly — the pandas object-column variant measured ~2×
