@@ -1033,6 +1033,224 @@ ExOut *extract_batch(const ExCfg *g,
     return o;
 }
 
+/* =====================================================================
+ * MinHash kernel: seeded-md5 word-n-gram minima per row (round 7).
+ *
+ * Twin of operators/dedup.minhash_from_text's inner loop: per text row,
+ * split on SINGLE 0x20 bytes (consecutive spaces yield empty words,
+ * exactly like Python bytes.split(b" ")), hash every n-gram's ORIGINAL
+ * byte span (join-with-single-space of adjacent words reproduces the
+ * source bytes verbatim) under each "i:" seed prefix with md5, and keep
+ * the per-seed minimum of (first 8 digest bytes big-endian) >> 4.
+ * ===================================================================== */
+
+typedef struct {
+    unsigned int a, b, c, d;
+    unsigned long long nbits;
+    unsigned char buf[64];
+    int buflen;
+} MD5s;
+
+static const unsigned int MD5K[64] = {
+0xd76aa478u,0xe8c7b756u,0x242070dbu,0xc1bdceeeu,0xf57c0fafu,0x4787c62au,
+0xa8304613u,0xfd469501u,0x698098d8u,0x8b44f7afu,0xffff5bb1u,0x895cd7beu,
+0x6b901122u,0xfd987193u,0xa679438eu,0x49b40821u,0xf61e2562u,0xc040b340u,
+0x265e5a51u,0xe9b6c7aau,0xd62f105du,0x02441453u,0xd8a1e681u,0xe7d3fbc8u,
+0x21e1cde6u,0xc33707d6u,0xf4d50d87u,0x455a14edu,0xa9e3e905u,0xfcefa3f8u,
+0x676f02d9u,0x8d2a4c8au,0xfffa3942u,0x8771f681u,0x6d9d6122u,0xfde5380cu,
+0xa4beea44u,0x4bdecfa9u,0xf6bb4b60u,0xbebfbc70u,0x289b7ec6u,0xeaa127fau,
+0xd4ef3085u,0x04881d05u,0xd9d4d039u,0xe6db99e5u,0x1fa27cf8u,0xc4ac5665u,
+0xf4292244u,0x432aff97u,0xab9423a7u,0xfc93a039u,0x655b59c3u,0x8f0ccc92u,
+0xffeff47du,0x85845dd1u,0x6fa87e4fu,0xfe2ce6e0u,0xa3014314u,0x4e0811a1u,
+0xf7537e82u,0xbd3af235u,0x2ad7d2bbu,0xeb86d391u};
+static const int MD5R[64] = {
+7,12,17,22,7,12,17,22,7,12,17,22,7,12,17,22,
+5,9,14,20,5,9,14,20,5,9,14,20,5,9,14,20,
+4,11,16,23,4,11,16,23,4,11,16,23,4,11,16,23,
+6,10,15,21,6,10,15,21,6,10,15,21,6,10,15,21};
+
+#define MD5_ROTL(x, c) (((x) << (c)) | ((x) >> (32 - (c))))
+#define MD5_STEP(F, A, B, C, D, Mg, Ki, Ri) \
+    A += F(B, C, D) + Mg + Ki; A = B + MD5_ROTL(A, Ri);
+#define MD5_F1(b, c, d) (((b) & (c)) | (~(b) & (d)))
+#define MD5_F2(b, c, d) (((d) & (b)) | (~(d) & (c)))
+#define MD5_F3(b, c, d) ((b) ^ (c) ^ (d))
+#define MD5_F4(b, c, d) ((c) ^ ((b) | ~(d)))
+
+static void md5_compress(MD5s *s, const unsigned char *p) {
+    unsigned int M[16];
+    int i;
+    for (i = 0; i < 16; i++)
+        M[i] = (unsigned int)p[i*4] | ((unsigned int)p[i*4+1] << 8)
+             | ((unsigned int)p[i*4+2] << 16) | ((unsigned int)p[i*4+3] << 24);
+    unsigned int A = s->a, B = s->b, C = s->c, D = s->d;
+    int g;
+    for (i = 0; i < 16; i += 4) {
+        MD5_STEP(MD5_F1, A, B, C, D, M[i],     MD5K[i],     MD5R[i])
+        MD5_STEP(MD5_F1, D, A, B, C, M[i + 1], MD5K[i + 1], MD5R[i + 1])
+        MD5_STEP(MD5_F1, C, D, A, B, M[i + 2], MD5K[i + 2], MD5R[i + 2])
+        MD5_STEP(MD5_F1, B, C, D, A, M[i + 3], MD5K[i + 3], MD5R[i + 3])
+    }
+    for (i = 16; i < 32; i += 4) {
+        g = (5*i + 1) & 15;
+        MD5_STEP(MD5_F2, A, B, C, D, M[g],            MD5K[i],     MD5R[i])
+        MD5_STEP(MD5_F2, D, A, B, C, M[(g + 5) & 15], MD5K[i + 1], MD5R[i + 1])
+        MD5_STEP(MD5_F2, C, D, A, B, M[(g + 10) & 15], MD5K[i + 2], MD5R[i + 2])
+        MD5_STEP(MD5_F2, B, C, D, A, M[(g + 15) & 15], MD5K[i + 3], MD5R[i + 3])
+    }
+    for (i = 32; i < 48; i += 4) {
+        g = (3*i + 5) & 15;
+        MD5_STEP(MD5_F3, A, B, C, D, M[g],            MD5K[i],     MD5R[i])
+        MD5_STEP(MD5_F3, D, A, B, C, M[(g + 3) & 15], MD5K[i + 1], MD5R[i + 1])
+        MD5_STEP(MD5_F3, C, D, A, B, M[(g + 6) & 15], MD5K[i + 2], MD5R[i + 2])
+        MD5_STEP(MD5_F3, B, C, D, A, M[(g + 9) & 15], MD5K[i + 3], MD5R[i + 3])
+    }
+    for (i = 48; i < 64; i += 4) {
+        g = (7*i) & 15;
+        MD5_STEP(MD5_F4, A, B, C, D, M[g],            MD5K[i],     MD5R[i])
+        MD5_STEP(MD5_F4, D, A, B, C, M[(g + 7) & 15], MD5K[i + 1], MD5R[i + 1])
+        MD5_STEP(MD5_F4, C, D, A, B, M[(g + 14) & 15], MD5K[i + 2], MD5R[i + 2])
+        MD5_STEP(MD5_F4, B, C, D, A, M[(g + 21) & 15], MD5K[i + 3], MD5R[i + 3])
+    }
+    s->a += A; s->b += B; s->c += C; s->d += D;
+}
+
+static void md5_init(MD5s *s) {
+    s->a = 0x67452301u; s->b = 0xefcdab89u;
+    s->c = 0x98badcfeu; s->d = 0x10325476u;
+    s->nbits = 0; s->buflen = 0;
+}
+
+static void md5_update(MD5s *s, const unsigned char *p, long long n) {
+    s->nbits += (unsigned long long)n * 8;
+    while (n > 0) {
+        int take = 64 - s->buflen;
+        if (take > n) take = (int)n;
+        memcpy(s->buf + s->buflen, p, (size_t)take);
+        s->buflen += take; p += take; n -= take;
+        if (s->buflen == 64) { md5_compress(s, s->buf); s->buflen = 0; }
+    }
+}
+
+/* first 8 digest bytes as a big-endian u64, >> 4 (the portable-hash
+ * int(md5(...).hexdigest()[:15], 16) value) */
+static long long md5_final_h60(MD5s *s) {
+    unsigned long long nbits = s->nbits;
+    static const unsigned char PAD[64] = { 0x80 };  /* 0x80 then zeros */
+    int padlen = (s->buflen < 56) ? 56 - s->buflen : 120 - s->buflen;
+    md5_update(s, PAD, padlen);
+    unsigned char lenb[8];
+    int i;
+    for (i = 0; i < 8; i++) lenb[i] = (unsigned char)(nbits >> (8 * i));
+    md5_update(s, lenb, 8);
+    /* digest bytes 0..7 = a,b little-endian; assemble big-endian u64 */
+    unsigned char d[8];
+    for (i = 0; i < 4; i++) d[i]     = (unsigned char)(s->a >> (8 * i));
+    for (i = 0; i < 4; i++) d[4 + i] = (unsigned char)(s->b >> (8 * i));
+    unsigned long long v = 0;
+    for (i = 0; i < 8; i++) v = (v << 8) | d[i];
+    return (long long)(v >> 4);
+}
+
+/* one-shot digest of a small contiguous message: single-block fast path
+ * (message <= 55 bytes pads into ONE compress), streaming fallback */
+static long long md5_h60(const unsigned char *msg, long long n) {
+    MD5s st;
+    md5_init(&st);
+    if (n <= 55) {
+        unsigned char blk[64];
+        memcpy(blk, msg, (size_t)n);
+        blk[n] = 0x80;
+        memset(blk + n + 1, 0, (size_t)(56 - n - 1));
+        unsigned long long nbits = (unsigned long long)n * 8;
+        int i;
+        for (i = 0; i < 8; i++)
+            blk[56 + i] = (unsigned char)(nbits >> (8 * i));
+        md5_compress(&st, blk);
+        unsigned char d[8];
+        for (i = 0; i < 4; i++) d[i]     = (unsigned char)(st.a >> (8 * i));
+        for (i = 0; i < 4; i++) d[4 + i] = (unsigned char)(st.b >> (8 * i));
+        unsigned long long v = 0;
+        for (i = 0; i < 8; i++) v = (v << 8) | d[i];
+        return (long long)(v >> 4);
+    }
+    md5_update(&st, msg, n);
+    return md5_final_h60(&st);
+}
+
+/* rows with emit[i]=0 produced no shingles (null text or < ngram words)
+ * and must not be output. mins is nrows*nh int64, row-major.
+ * Returns nrows, or -1 on allocation failure (caller falls back). */
+long long minhash_text(const unsigned char *valid, const int *offs,
+                       const unsigned char *data, long long nrows,
+                       int ngram, int nh,
+                       long long *mins, unsigned char *emit)
+{
+    if (ngram < 1 || nh < 1 || nh > 64) return -1;
+    char prefix[64][4];
+    int plen[64];
+    int i;
+    for (i = 0; i < nh; i++)
+        plen[i] = snprintf(prefix[i], 4, "%d:", i);
+    long long starts_cap = 64;
+    long long *starts = malloc((size_t)starts_cap * sizeof(long long));
+    long long scratch_cap = 256;
+    /* layout: [3-byte prefix slot][shingle bytes] so the shingle is
+     * copied ONCE per shingle and each seed only rewrites its prefix */
+    unsigned char *scratch = malloc((size_t)scratch_cap);
+    if (!starts || !scratch) { free(starts); free(scratch); return -1; }
+    const long long SENTINEL = 1LL << 62;
+    long long r;
+    for (r = 0; r < nrows; r++) {
+        emit[r] = 0;
+        if (valid && !(valid[r >> 3] & (1u << (r & 7)))) continue;
+        long long s = offs[r], e = offs[r + 1];
+        /* word starts: 0x20 is a hard separator; empty words count */
+        long long nw = 0;
+        long long p = s;
+        for (;;) {
+            if (nw == starts_cap) {
+                starts_cap *= 2;
+                long long *ns = realloc(starts,
+                                        (size_t)starts_cap * sizeof(long long));
+                if (!ns) { free(starts); free(scratch); return -1; }
+                starts = ns;
+            }
+            starts[nw++] = p;
+            while (p < e && data[p] != 0x20) p++;
+            if (p == e) break;
+            p++;  /* past the space; a trailing space yields an empty word */
+        }
+        long long nsh = nw - ngram + 1;
+        if (nsh <= 0) continue;
+        long long *row = mins + r * nh;
+        for (i = 0; i < nh; i++) row[i] = SENTINEL;
+        long long k;
+        for (k = 0; k < nsh; k++) {
+            long long sb = starts[k];
+            long long se = (k + ngram < nw) ? starts[k + ngram] - 1 : e;
+            long long slen = se - sb;
+            if (slen + 8 > scratch_cap) {
+                while (slen + 8 > scratch_cap) scratch_cap *= 2;
+                unsigned char *nscr = realloc(scratch, (size_t)scratch_cap);
+                if (!nscr) { free(starts); free(scratch); return -1; }
+                scratch = nscr;
+            }
+            memcpy(scratch + 3, data + sb, (size_t)slen);
+            for (i = 0; i < nh; i++) {
+                unsigned char *m0 = scratch + 3 - plen[i];
+                memcpy(m0, prefix[i], (size_t)plen[i]);
+                long long v = md5_h60(m0, plen[i] + slen);
+                if (v < row[i]) row[i] = v;
+            }
+        }
+        emit[r] = 1;
+    }
+    free(starts);
+    free(scratch);
+    return nrows;
+}
+
 """
 
 _LIB = None
@@ -1067,6 +1285,7 @@ def _build_lib():
         lib.xy_cut.restype = ctypes.c_int
         _wire_protos(lib)
         _ex_protos(lib)
+        _mh_protos(lib)
         return lib
     except Exception:  # noqa: BLE001 — any failure means "use Python"
         return None
@@ -1290,6 +1509,50 @@ def _addr(buf, typ):
     if buf is None:
         return ctypes.cast(0, typ)
     return ctypes.cast(buf.address, typ)
+
+
+def _mh_protos(lib):
+    U8 = ctypes.POINTER(ctypes.c_ubyte)
+    I32 = ctypes.POINTER(ctypes.c_int)
+    I64 = ctypes.POINTER(ctypes.c_longlong)
+    lib.minhash_text.argtypes = [U8, I32, U8, ctypes.c_longlong,
+                                 ctypes.c_int, ctypes.c_int, I64, U8]
+    lib.minhash_text.restype = ctypes.c_longlong
+
+
+def minhash_text_batch(text_arr, ngram: int, n_hash: int):
+    """Seeded-md5 minhash minima for one pyarrow string array: returns
+    (emit bool ndarray, mins (n, n_hash) int64 ndarray) — rows with
+    emit False produced no shingles (null text or fewer than ``ngram``
+    words) — or None to fall back to the Python loop (no library, sliced
+    array, non-string type, zero rows, or allocation failure in C).
+    Value-identical to dedup.minhash_from_text's per-row minima
+    (int(md5(f"{i}:{shingle}").hexdigest()[:15], 16), min per seed) —
+    differentially pinned in tests/test_native_minhash.py."""
+    lib = _lib()
+    if lib is None:
+        return None
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(text_arr, pa.ChunkedArray):
+        text_arr = text_arr.combine_chunks()
+    n = len(text_arr)
+    if n == 0 or text_arr.offset != 0 or text_arr.type != pa.string():
+        return None
+    validity, offs, data = text_arr.buffers()
+    U8 = ctypes.POINTER(ctypes.c_ubyte)
+    I32 = ctypes.POINTER(ctypes.c_int)
+    I64 = ctypes.POINTER(ctypes.c_longlong)
+    mins = np.empty((n, n_hash), dtype=np.int64)
+    emit = np.zeros(n, dtype=np.uint8)
+    got = lib.minhash_text(
+        _addr(validity, U8), _addr(offs, I32), _addr(data, U8),
+        ctypes.c_longlong(n), ctypes.c_int(ngram), ctypes.c_int(n_hash),
+        mins.ctypes.data_as(I64), emit.ctypes.data_as(U8))
+    if got != n:
+        return None
+    return emit.astype(bool), mins
 
 
 def extract_batch(batch, want_spans: bool, want_md: bool):

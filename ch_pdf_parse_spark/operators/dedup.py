@@ -200,10 +200,30 @@ def minhash_from_text(corpus: DataFrame, n: int = 3) -> DataFrame:
 
         import pyarrow as pa
 
+        from .. import native
+
         seeds = [md5(f"{i}:".encode()) for i in range(n_hash)]
         sentinel = 1 << 62  # every real hash is < 2^60
         sep = b" "
         for batch in it:
+            got = native.minhash_text_batch(batch.column("text"), n, n_hash)
+            if got is not None:
+                # C twin (round 7 continuation): same seeded-md5 minima at
+                # ~5× the hashlib loop (differential pin in
+                # tests/test_native_minhash.py); None → Python path below
+                emit, mins = got
+                if emit.any():
+                    ids_col = batch.column("doc_id")
+                    if isinstance(ids_col, pa.ChunkedArray):
+                        ids_col = ids_col.combine_chunks()
+                    mask = pa.array(emit)
+                    kept = mins[emit]
+                    yield pa.RecordBatch.from_arrays(
+                        [ids_col.filter(mask)]
+                        + [pa.array(kept[:, i], pa.int64())
+                           for i in range(n_hash)],
+                        ["doc_id"] + [f"m{i}" for i in range(n_hash)])
+                continue
             ids = batch.column("doc_id").to_pylist()
             texts = batch.column("text").to_pylist()
             o_ids: list = []
