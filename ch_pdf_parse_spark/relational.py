@@ -63,6 +63,8 @@ def _xy_cut_doc(tbl):
     import numpy as np
     import pyarrow as pa
 
+    from . import native
+
     kinds = tbl.column("kind").to_pylist()
     texts = tbl.column("text").to_pylist()
     xs = tbl.column("x1").to_numpy(zero_copy_only=False)
@@ -71,6 +73,7 @@ def _xy_cut_doc(tbl):
     n = len(kinds)
     rank = np.zeros(n, dtype=np.int32)
     x0s = np.zeros(n, dtype=np.int32)
+    use_native = native.available()
     order = np.argsort(pages, kind="stable")
     start = 0
     for i in range(1, n + 1):
@@ -80,7 +83,18 @@ def _xy_cut_doc(tbl):
                 core.derive_box(kinds[j], texts[j], int(xs[j]), int(ys[j]))
                 for j in idx
             ]
-            for r, (k, x0) in enumerate(core.xy_cut(boxes)):
+            # native (C) XY-cut when available — bit-identical
+            # (differential-fuzzed in tests/test_kernel.py); core.xy_cut
+            # remains the semantics and the live fallback
+            ordered = None
+            if use_native:
+                ordered = native.xy_cut(
+                    [b[0] for b in boxes], [b[1] for b in boxes],
+                    [b[2] for b in boxes], [b[3] for b in boxes],
+                    C.XY_MIN_GAP_X, C.XY_MIN_GAP_Y)
+            if ordered is None:
+                ordered = core.xy_cut(boxes)
+            for r, (k, x0) in enumerate(ordered):
                 rank[idx[k]] = r
                 x0s[idx[k]] = x0
             start = i
